@@ -1,0 +1,243 @@
+"""Diffusion engine: couples a process (precomputed tables) with a denoiser
+apply-function and provides training losses + compiled ancestral/DDIM
+sampling.
+
+This is the TPU-native counterpart of the reference's ``LatentDiffusion``
+method surface (`src/core/diffusion/base.py:219-443`): the entire T-step
+reverse process is a single ``lax.scan`` (one XLA program) instead of a
+Python loop of kernel launches, and all randomness is explicit ``jax.random``
+keys (reproducibility by construction; reference relies on global torch
+seeding, `src/utils/reproducibility.py:9-23`).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .process import IsotropicProcess, NonisotropicProcess, extract
+
+Array = jnp.ndarray
+Process = Union[IsotropicProcess, NonisotropicProcess]
+# model_apply(params, x[B,N,D], t[B] int32, x_cond[B,N,Dc] | None) -> [B,N,Dout]
+ModelApply = Callable[..., Array]
+
+
+class GaussianDiffusion:
+    """Training/sampling engine around a diffusion process.
+
+    ``channels`` is the number of skeleton nodes N and ``seq_length`` the
+    latent feature size (96), mirroring the reference's (mis)naming
+    (`base.py:94-99`).  All methods are pure in (params, rng, data) and can be
+    jitted/vmapped/pjit-ed by callers.
+    """
+
+    def __init__(
+        self,
+        process: Process,
+        model_apply: ModelApply,
+        *,
+        channels: int,
+        latent_size: int = 96,
+        diffusion_activation: str = "identity",
+        diffusion_conditioning: bool = False,
+        clip_denoised: bool = True,
+        sampling_timesteps: Optional[int] = None,
+        ddim_sampling_eta: float = 0.0,
+    ):
+        assert diffusion_activation in ("identity", "tanh")
+        self.process = process
+        self.model_apply = model_apply
+        self.channels = channels
+        self.seq_length = latent_size
+        self.activation = diffusion_activation
+        self.condition = diffusion_conditioning
+        self.clip_denoised = clip_denoised
+        self.num_timesteps = process.num_timesteps
+        self.objective = process.objective
+        self.sampling_timesteps = sampling_timesteps or process.num_timesteps
+        assert self.sampling_timesteps <= process.num_timesteps
+        self.is_ddim_sampling = self.sampling_timesteps < process.num_timesteps
+        self.ddim_sampling_eta = ddim_sampling_eta
+
+    # ---- network interface -------------------------------------------------
+    def feed_model(self, params, x: Array, t: Array, x_cond: Optional[Array] = None) -> Array:
+        """Reference `base.py:243-255` (x_cond fan-out happens explicitly at
+        the call sites here; no implicit repeat_interleave)."""
+        if self.condition:
+            assert x_cond is not None
+        out = self.model_apply(params, x, t, x_cond)
+        if self.activation == "tanh":
+            out = jnp.tanh(out)
+        return out
+
+    def model_predictions(
+        self, params, x: Array, t: Array, x_cond: Optional[Array] = None, clip_x_start: bool = False
+    ) -> Tuple[Array, Array]:
+        """(pred_noise, pred_x_start); reference `base.py:219-241`."""
+        model_output = self.feed_model(params, x, t, x_cond)
+        maybe_clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
+
+        if self.objective == "pred_noise":
+            pred_noise = model_output
+            x_start = maybe_clip(self.process.predict_start_from_noise(x, t, pred_noise))
+        elif self.objective == "pred_x0":
+            x_start = maybe_clip(model_output)
+            pred_noise = self.process.predict_noise_from_start(x, t, x_start)
+        elif self.objective == "pred_v":
+            x_start = maybe_clip(self.process.predict_start_from_v(x, t, model_output))
+            pred_noise = self.process.predict_noise_from_start(x, t, x_start)
+        else:
+            raise ValueError(self.objective)
+        return pred_noise, x_start
+
+    # ---- training ------------------------------------------------------------
+    def p_losses(
+        self,
+        params,
+        rng: jax.Array,
+        x_start: Array,
+        t: Array,
+        x_cond: Optional[Array] = None,
+        n_train_samples: int = 1,
+    ) -> Tuple[Array, Array, Array]:
+        """Per-sample diffusion losses.
+
+        Returns ``(loss [b·k], loss_weight [b], model_out [b·k,N,D])``
+        matching reference `base.py:262-300`.  With ``n_train_samples=k>1``
+        the batch axis is fanned out k-fold (repeat_interleave layout:
+        sample j of item i sits at row i·k+j).
+        """
+        b = x_start.shape[0]
+        loss_weight = extract(self.process.loss_weight, t, 1).reshape(b)
+
+        if n_train_samples > 1:
+            x_start = jnp.repeat(x_start, n_train_samples, axis=0)
+            t = jnp.repeat(t, n_train_samples, axis=0)
+            if x_cond is not None:
+                x_cond = jnp.repeat(x_cond, n_train_samples, axis=0)
+
+        noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
+        x = self.process.q_sample(x_start, t, noise)
+        model_out = self.feed_model(params, x, t, x_cond)
+
+        if self.objective == "pred_noise":
+            target = noise
+        elif self.objective == "pred_x0":
+            target = x_start
+        elif self.objective == "pred_v":
+            target = self.process.predict_v(x_start, t, noise)
+        else:
+            raise ValueError(self.objective)
+
+        loss = self.process.loss_terms(model_out, target, t)
+        loss = loss.reshape(loss.shape[0], -1).mean(axis=-1)
+        return loss, loss_weight, model_out
+
+    def loss(
+        self,
+        params,
+        rng: jax.Array,
+        x: Array,
+        x_cond: Optional[Array] = None,
+        n_train_samples: int = 1,
+    ) -> Tuple[Array, Array, Array]:
+        """Sample t ~ U[0,T) per item and compute p_losses; reference
+        `base.py:302-307` (``forward``)."""
+        rng_t, rng_noise = jax.random.split(rng)
+        b = x.shape[0]
+        assert x.shape[-1] == self.seq_length
+        t = jax.random.randint(rng_t, (b,), 0, self.num_timesteps)
+        return self.p_losses(params, rng_noise, x, t, x_cond=x_cond, n_train_samples=n_train_samples)
+
+    # ---- ancestral sampling -----------------------------------------------
+    def p_sample_loop(
+        self,
+        params,
+        rng: jax.Array,
+        shape: Tuple[int, ...],
+        x_cond: Optional[Array] = None,
+        start_noise: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        """Full reverse process as ONE ``lax.scan`` over t = T-1 … 0;
+        reference `base.py:324-390` (Python loop upstream).
+
+        Returns ``(x_0 samples, start_noise)``.
+        """
+        rng_start, rng_steps = jax.random.split(rng)
+        if start_noise is None:
+            start_noise = jax.random.normal(rng_start, shape, dtype=jnp.float32)
+        img = start_noise
+        batch = shape[0]
+
+        def step(carry, t):
+            img, = carry
+            tb = jnp.full((batch,), t, dtype=jnp.int32)
+            _, x_start = self.model_predictions(params, img, tb, x_cond)
+            if self.clip_denoised:
+                x_start = jnp.clip(x_start, -1.0, 1.0)
+            mean, _, log_var = self.process.q_posterior(x_start, img, tb)
+            noise = jax.random.normal(jax.random.fold_in(rng_steps, t), shape, dtype=img.dtype)
+            noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+            img = self.process.combine_mean_var_noise(mean, log_var, noise)
+            return (img,), None
+
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        (img,), _ = jax.lax.scan(step, (img,), ts)
+        return img, start_noise
+
+    def ddim_sample(
+        self,
+        params,
+        rng: jax.Array,
+        shape: Tuple[int, ...],
+        x_cond: Optional[Array] = None,
+        start_noise: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        """DDIM sampler (isotropic process only).  The reference's DDIM branch
+        is dead code (`base.py:393-396`, ``times`` used before assignment);
+        implemented correctly here from the published DDIM update rule.
+        """
+        assert isinstance(self.process, IsotropicProcess), "DDIM requires the isotropic process"
+        import numpy as np
+
+        rng_start, rng_steps = jax.random.split(rng)
+        if start_noise is None:
+            start_noise = jax.random.normal(rng_start, shape, dtype=jnp.float32)
+        img = start_noise
+        batch = shape[0]
+        eta = self.ddim_sampling_eta
+
+        times = np.linspace(-1, self.num_timesteps - 1, self.sampling_timesteps + 1)
+        times = list(reversed(times.astype(int).tolist()))
+        time_pairs = list(zip(times[:-1], times[1:]))
+
+        acp = self.process.alphas_cumprod
+        for i, (time, time_next) in enumerate(time_pairs):
+            tb = jnp.full((batch,), time, dtype=jnp.int32)
+            pred_noise, x_start = self.model_predictions(
+                params, img, tb, x_cond, clip_x_start=self.clip_denoised
+            )
+            if time_next < 0:
+                img = x_start
+                continue
+            alpha, alpha_next = acp[time], acp[time_next]
+            sigma = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
+            c = jnp.sqrt(1 - alpha_next - sigma**2)
+            noise = jax.random.normal(jax.random.fold_in(rng_steps, i), img.shape, dtype=img.dtype)
+            img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+        return img, start_noise
+
+    def sample(
+        self,
+        params,
+        rng: jax.Array,
+        batch_size: int = 16,
+        x_cond: Optional[Array] = None,
+        start_noise: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        """Public sampling API mirroring reference `base.py:439-443`."""
+        shape = (batch_size, self.channels, self.seq_length)
+        fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
+        return fn(params, rng, shape, x_cond=x_cond, start_noise=start_noise)

@@ -1,0 +1,81 @@
+"""Graph-structural linear layer: per-node-type weight banks mixed across the
+skeleton by a (learnable, row-L1-normalized) influence matrix G.
+
+TPU-native formulation of the reference's ``StaticGraphLinear``
+(`src/core/network/layers/graph_structural.py:7-114`):
+
+    y = G · (gmm(x, W[type]) + b[type]),   gmm = einsum('bni,nio->bno', x, W_n)
+
+The node-type gather ``W[type_index]`` is resolved at trace time (static
+indices), so XLA sees one dense [N,in,out] einsum — a batched matmul that
+tiles directly onto the MXU — followed by the tiny [N,N] mix.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .initializers import graph_linear_bias, graph_linear_weight
+
+Array = jnp.ndarray
+
+
+def l1_normalize_rows(g: Array, eps: float = 1e-12) -> Array:
+    """torch F.normalize(p=1, dim=1): divide each row by max(‖row‖₁, eps)
+    (`graph_structural.py:30-32`)."""
+    norm = jnp.clip(jnp.sum(jnp.abs(g), axis=1, keepdims=True), eps, None)
+    return g / norm
+
+
+def gmm(x: Array, w: Array) -> Array:
+    """Per-node matmul; reference `graph_structural.py:7-8` (with the weight
+    pre-transposed to [N,in,out])."""
+    return jnp.einsum("bni,nio->bno", x, w)
+
+
+class StaticGraphLinear(nn.Module):
+    """Reference `graph_structural.py:58-114`.
+
+    Attributes:
+        in_features/out_features: feature sizes.
+        num_nodes: number of skeleton nodes N.
+        node_types: optional [N] int array; nodes of the same type share a
+            weight bank (L/R mirror joints).  None → one shared bank.
+        learn_influence: learn G (init = I, row-L1-normalized at each use).
+        bias: learn an additive bias.
+    """
+
+    in_features: int
+    out_features: int
+    num_nodes: int
+    node_types: Optional[np.ndarray] = None
+    learn_influence: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, g: Optional[Array] = None) -> Array:
+        n_types = 1 if self.node_types is None else int(np.max(self.node_types)) + 1
+        type_index = (
+            np.zeros(self.num_nodes, dtype=np.int32)
+            if self.node_types is None
+            else np.asarray(self.node_types, dtype=np.int32)
+        )
+
+        weight = self.param(
+            "weight", graph_linear_weight(n_types, self.in_features, self.out_features)
+        )
+        if g is None:
+            if self.learn_influence:
+                G = self.param("G", lambda key: jnp.eye(self.num_nodes, dtype=jnp.float32))
+                g = l1_normalize_rows(G)
+            else:
+                g = jnp.eye(self.num_nodes, dtype=x.dtype)
+
+        out = gmm(x, weight[type_index])
+        if self.use_bias:
+            bias = self.param("bias", graph_linear_bias(n_types, self.in_features, self.out_features))
+            out = out + bias[type_index]
+        return jnp.einsum("nm,bmo->bno", g, out)

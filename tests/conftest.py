@@ -1,0 +1,29 @@
+"""Test harness configuration.
+
+All tests run on CPU with 8 virtual XLA devices so the multi-chip sharding
+paths (skeletondiffusion_tpu.parallel) are exercised without TPU hardware —
+the TPU-native replacement for the reference's nonexistent distributed tests
+(SURVEY.md §4 implication (e)).  Must run before the first ``import jax``.
+"""
+import os
+
+# force CPU even when the ambient environment pins an accelerator platform
+# (the test suite must be runnable anywhere, incl. under the axon TPU tunnel
+# where remote compiles take ~90 s each)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+# persistent compilation cache: XLA CPU compiles dominate test wall time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_skeldiff")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,156 @@
+"""Generate golden-value fixtures from the reference implementation.
+
+Run ONCE at test-authoring time (requires /root/reference mounted):
+
+    python tests/make_goldens.py
+
+Produces ``tests/goldens/*.npz`` holding the reference's diffusion tables and
+q_sample/q_posterior/loss outputs on fixed inputs, which the unit tests pin
+the JAX implementation against (SURVEY.md §4 test strategy, item (b)).
+Only numeric outputs are extracted — no reference code is copied.
+"""
+import os
+import sys
+
+import numpy as np
+
+REF = "/root/reference"
+sys.path.insert(0, os.path.join(REF, "src"))
+OUT = os.path.join(os.path.dirname(__file__), "goldens")
+os.makedirs(OUT, exist_ok=True)
+
+import torch  # noqa: E402
+
+torch.manual_seed(0)
+
+# The reference's package __init__ imports its Denoiser, which depends on the
+# external denoising_diffusion_pytorch package (absent here).  Stub the two
+# symbols it imports so the diffusion modules load; they are unused by the
+# table/maths extraction below.
+import types  # noqa: E402
+
+_ddp = types.ModuleType("denoising_diffusion_pytorch")
+_ddp1d = types.ModuleType("denoising_diffusion_pytorch.denoising_diffusion_pytorch_1d")
+_ddp1d.RandomOrLearnedSinusoidalPosEmb = object
+_ddp1d.SinusoidalPosEmb = object
+_ddp.denoising_diffusion_pytorch_1d = _ddp1d
+sys.modules.setdefault("denoising_diffusion_pytorch", _ddp)
+sys.modules.setdefault("denoising_diffusion_pytorch.denoising_diffusion_pytorch_1d", _ddp1d)
+
+from core.diffusion.base import cosine_beta_schedule, linear_beta_schedule, exp_beta_schedule  # noqa: E402
+from core.diffusion.utils import get_cov_from_corr  # noqa: E402
+from core.diffusion.nonisotropic import NonisotropicGaussianDiffusion  # noqa: E402
+from core.diffusion.isotropic import IsotropicGaussianDiffusion  # noqa: E402
+from data.skeleton import create_skeleton  # noqa: E402
+
+
+class DummyModel(torch.nn.Module):
+    """Minimal stand-in so LatentDiffusion.__init__ accepts it."""
+
+    def __init__(self, channels):
+        super().__init__()
+        self.channels = channels
+        self.self_condition = False
+
+    def forward(self, x, t, x_self_cond=None, x_cond=None):
+        return x * 0.5
+
+
+def np64(t):
+    return t.detach().cpu().numpy().astype(np.float64)
+
+
+def main():
+    T = 10
+    # --- beta schedules -----------------------------------------------------
+    np.savez(
+        os.path.join(OUT, "schedules.npz"),
+        cosine_T10=np64(cosine_beta_schedule(10)),
+        linear_T10=np64(linear_beta_schedule(10)),
+        exp_T10=np64(exp_beta_schedule(10, 3.0)),
+        cosine_T50=np64(cosine_beta_schedule(50)),
+    )
+
+    # --- covariance from AMASS adjacency ------------------------------------
+    sk = create_skeleton(
+        dataset_name="amass", motion_repr_type="SkeletonRescalePose", num_joints=22,
+        pose_box_size=1.5, obs_length=30, pred_length=120, if_consider_hip=False,
+    )
+    corr = sk.adj_matrix
+    Sigma_N, Lambda_N, U = get_cov_from_corr(
+        correlation_matrix=corr, if_sigma_n_scale=True, sigma_n_scale="spectral",
+        if_run_as_isotropic=False,
+    )
+    np.savez(
+        os.path.join(OUT, "cov_amass.npz"),
+        corr=np64(corr), Sigma_N=np64(Sigma_N), Lambda_N=np64(Lambda_N), U=np64(U),
+    )
+
+    # --- nonisotropic diffusion buffers + transforms ------------------------
+    N = Sigma_N.shape[0]
+    model = DummyModel(channels=N)
+    diff = NonisotropicGaussianDiffusion(
+        Sigma_N=Sigma_N, Lambda_N=Lambda_N, U=U, model=model,
+        diffusion_covariance_type="skeleton-diffusion", gamma_scheduler="cosine",
+        loss_reduction_type="l1", latent_size=96, diffusion_timesteps=T,
+        diffusion_objective="pred_x0", beta_schedule="cosine",
+        diffusion_conditioning=False, diffusion_activation="identity",
+    )
+    rng = np.random.default_rng(42)
+    B = 4
+    x0 = rng.standard_normal((B, N, 96)).astype(np.float32)
+    xt = rng.standard_normal((B, N, 96)).astype(np.float32)
+    noise = rng.standard_normal((B, N, 96)).astype(np.float32)
+    t = np.array([0, 3, 7, 9], dtype=np.int64)
+
+    tt, tx0, txt, tnoise = map(torch.tensor, (t, x0, xt, noise))
+    q = diff.q_sample(tx0, tt, noise=tnoise)
+    pm, pv, plv = diff.q_posterior(tx0, txt, tt)
+    loss_el = diff.loss_funct(txt, tx0, tt)  # model_out=xt, target=x0
+    pred_noise = diff.predict_noise_from_start(txt, tt, tx0)
+    combined = diff.p_combine_mean_var_noise(pm, plv, tnoise)
+
+    buffers = {k: np64(v) for k, v in diff.named_buffers()}
+    np.savez(
+        os.path.join(OUT, "noniso_amass.npz"),
+        x0=x0, xt=xt, noise=noise, t=t,
+        q_sample=np64(q), post_mean=np64(pm), post_var=np64(pv), post_logvar=np64(plv),
+        loss_el=np64(loss_el), pred_noise=np64(pred_noise), combined=np64(combined),
+        **buffers,
+    )
+
+    # --- isotropic diffusion buffers ---------------------------------------
+    idiff = IsotropicGaussianDiffusion(
+        model=model, latent_size=96, diffusion_timesteps=T,
+        diffusion_objective="pred_x0", beta_schedule="cosine",
+        diffusion_conditioning=False, diffusion_activation="identity",
+        diffusion_loss_type="mse",
+    )
+    qi = idiff.q_sample(tx0, tt, noise=tnoise)
+    pmi, pvi, plvi = idiff.q_posterior(tx0, txt, tt)
+    ibuffers = {k: np64(v) for k, v in idiff.named_buffers()}
+    np.savez(
+        os.path.join(OUT, "iso.npz"),
+        x0=x0, xt=xt, noise=noise, t=t,
+        q_sample=np64(qi), post_mean=np64(pmi), post_var=np64(pvi), post_logvar=np64(plvi),
+        **ibuffers,
+    )
+
+    # --- README toy: random 16-node correlation ------------------------------
+    rng16 = np.random.default_rng(7)
+    corr16 = rng16.uniform(0, 1, (16, 16))
+    corr16 = (corr16 + corr16.T) / 2
+    np.fill_diagonal(corr16, 0.0)
+    S16, L16, U16 = get_cov_from_corr(
+        correlation_matrix=torch.tensor(corr16, dtype=torch.float32),
+        if_sigma_n_scale=True, sigma_n_scale="spectral", if_run_as_isotropic=False,
+    )
+    np.savez(
+        os.path.join(OUT, "cov_toy16.npz"),
+        corr=corr16, Sigma_N=np64(S16), Lambda_N=np64(L16), U=np64(U16),
+    )
+    print("goldens written to", OUT)
+
+
+if __name__ == "__main__":
+    main()
