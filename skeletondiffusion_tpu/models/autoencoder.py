@@ -1,0 +1,250 @@
+"""Graph-recurrent motion AutoEncoder: pose sequence [B,T,N,3] ⇄ per-joint
+latent [B,N,latent].
+
+Mirrors reference `src/core/network/nn/{encoder,decoder,autoencoder}.py` with
+TPU-native loops: the encoder runs its graph-GRU over T observed frames as
+one ``nn.scan``; the decoder's autoregressive-in-hidden-state rollout
+(constant input [x_{T-1}, z], evolving hidden + influence matrix,
+`decoder.py:85-104`) is one ``nn.scan`` of the GRU cell over ``ph`` steps
+with the output head applied to all steps in a single batched matmul.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.graph_gru import (
+    StaticGraphGRU,
+    StaticGraphGRUCell,
+    StaticGraphLSTM,
+    StaticGraphLSTMCell,
+)
+from ..ops.graph_linear import StaticGraphLinear, l1_normalize_rows
+
+Array = jnp.ndarray
+
+
+class Encoder(nn.Module):
+    """Graph-GRU (or LSTM) over the input sequence; hidden initialized from
+    frame 0 via a graph linear; output = tanh(fc(last hidden)).  Reference
+    `src/core/network/nn/encoder.py:10-82`."""
+
+    num_nodes: int
+    input_size: int
+    hidden_size: int
+    output_size: int
+    node_types: Optional[np.ndarray] = None
+    enc_num_layers: int = 1
+    encoder_act: str = "tanh"
+    recurrent_arch: str = "StaticGraphGRU"
+
+    @nn.compact
+    def __call__(self, x: Array, last_index=None) -> Tuple[Array, List]:
+        """``last_index`` (traced int, default T-1) selects which step's
+        hidden feeds the latent head — because the GRU is causal, reading
+        step ``ph-1`` of a full-length scan equals encoding the truncated
+        sequence ``x[:, :ph]``.  This lets the curriculum's dynamic horizon
+        (`src/core/trainer.py:84-87`) live inside ONE compiled program
+        instead of recompiling per ph."""
+        rnn_cls = {"StaticGraphGRU": StaticGraphGRU, "StaticGraphLSTM": StaticGraphLSTM}[
+            self.recurrent_arch
+        ]
+        rnn = rnn_cls(
+            input_size=self.input_size, hidden_size=self.hidden_size,
+            num_nodes=self.num_nodes, num_layers=self.enc_num_layers,
+            node_types=self.node_types, learn_influence=True, use_bias=True, name="rnn",
+        )
+        h0 = StaticGraphLinear(
+            self.input_size, self.hidden_size, num_nodes=self.num_nodes,
+            node_types=self.node_types, learn_influence=True, name="initial_hidden1",
+        )(x[:, 0])
+        if self.recurrent_arch == "StaticGraphLSTM":
+            c0 = StaticGraphLinear(
+                self.input_size, self.hidden_size, num_nodes=self.num_nodes,
+                node_types=self.node_types, learn_influence=True, name="initial_hidden_c",
+            )(x[:, 0])
+            states = [(h0, c0, None)] * self.enc_num_layers
+        else:
+            states = [(h0, None)] * self.enc_num_layers
+
+        y, state = rnn(x, states)
+        if last_index is None:
+            y_last = y[:, -1]
+        else:
+            y_last = jnp.take_along_axis(
+                y, jnp.asarray(last_index).reshape(1, 1, 1, 1).astype(jnp.int32), axis=1
+            )[:, 0]
+        h = StaticGraphLinear(
+            self.hidden_size, self.output_size, num_nodes=self.num_nodes,
+            node_types=self.node_types, learn_influence=True, name="fc",
+        )(y_last)
+        if self.encoder_act == "tanh":
+            h = jnp.tanh(h)
+        return h, state
+
+
+class Decoder(nn.Module):
+    """Rollout decoder; reference `src/core/network/nn/decoder.py:9-104`.
+
+    Hidden init from [x_{T-2}, z]; constant per-step input [x_{T-1}, z]; each
+    step emits tanh(fc(h_t)).  The influence matrix evolves through the
+    rollout (learn_additive_graph_influence=True, `decoder.py:36-40`).
+    """
+
+    num_nodes: int
+    feature_size: int          # 3
+    input_size: int            # latent size of z
+    hidden_size: int
+    output_size: int           # 3
+    node_types: Optional[np.ndarray] = None
+    dec_num_layers: int = 1
+    recurrent_arch_decoder: str = "StaticGraphGRU"
+
+    @nn.compact
+    def __call__(self, x: Array, z: Array, ph: int = 1) -> Tuple[Array, Array]:
+        assert self.dec_num_layers == 1, "shipped configs use a single decoder layer"
+        cell_cls = {
+            "StaticGraphGRU": StaticGraphGRUCell,
+            "StaticGraphLSTM": StaticGraphLSTMCell,
+        }[self.recurrent_arch_decoder]
+        is_lstm = cell_cls is StaticGraphLSTMCell
+
+        x_t = x[:, -1]
+        x_t_1 = x[:, -2]
+        h0_in = jnp.concatenate([x_t_1, z], axis=-1)
+        h0 = StaticGraphLinear(
+            self.feature_size + self.input_size, self.hidden_size, num_nodes=self.num_nodes,
+            node_types=self.node_types, learn_influence=True, name="initial_hidden_h",
+        )(h0_in)
+        G = self.param("G0", lambda key: jnp.eye(self.num_nodes, dtype=jnp.float32))
+        g0 = l1_normalize_rows(G)
+        if is_lstm:
+            c0 = StaticGraphLinear(
+                self.feature_size + self.input_size, self.hidden_size, num_nodes=self.num_nodes,
+                node_types=self.node_types, learn_influence=True, name="initial_hidden_c",
+            )(h0_in)
+            carry = (h0, c0, g0)
+        else:
+            carry = (h0, g0)
+
+        rec_input = jnp.concatenate([x_t, z], axis=-1)  # constant every step
+
+        scan_cell = nn.scan(
+            cell_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=1,
+            length=ph,
+        )(
+            input_size=self.feature_size + self.input_size,
+            hidden_size=self.hidden_size,
+            num_nodes=self.num_nodes,
+            node_types=self.node_types,
+            learn_influence=True,
+            learn_additive_graph_influence=True,
+            name="cell",
+        )
+        _, hs = scan_cell(carry, rec_input)  # [B, ph, N, H]
+
+        # output head applied to every step at once: one [B·ph·N] batched
+        # matmul instead of ph tiny launches (reference applies fc per step,
+        # `decoder.py:97-100` — algebraically identical, MXU-friendlier)
+        B = hs.shape[0]
+        y = StaticGraphLinear(
+            self.hidden_size, self.output_size, num_nodes=self.num_nodes,
+            node_types=self.node_types, learn_influence=True, name="fc",
+        )(hs.reshape(B * ph, self.num_nodes, self.hidden_size))
+        y = jnp.tanh(y).reshape(B, ph, self.num_nodes, self.output_size)
+        return y, x_t
+
+
+class AutoEncoder(nn.Module):
+    """seq→latent→seq; reference `src/core/network/nn/autoencoder.py:8-98`.
+
+    Apply with ``method=``:  ``encode`` (≡ reference forward),
+    ``get_past_embedding`` (stop-grad + extra tanh, `autoencoder.py:51-55`),
+    ``get_train_embeddings``, ``decode`` and ``autoencode``.
+    """
+
+    num_nodes: int
+    encoder_hidden_size: int
+    decoder_hidden_size: int
+    latent_size: int
+    node_types: Optional[np.ndarray] = None
+    input_size: int = 3
+    output_size: int = 3
+    z_activation: str = "tanh"
+    enc_num_layers: int = 1
+    loss_pose_type: str = "l1"
+    recurrent_arch_enc: str = "StaticGraphGRU"
+    recurrent_arch_decoder: str = "StaticGraphGRU"
+
+    def setup(self):
+        self.encoder = Encoder(
+            num_nodes=self.num_nodes, input_size=self.input_size,
+            hidden_size=self.encoder_hidden_size, output_size=self.latent_size,
+            node_types=self.node_types, enc_num_layers=self.enc_num_layers,
+            recurrent_arch=self.recurrent_arch_enc,
+        )
+        self.decoder = Decoder(
+            num_nodes=self.num_nodes, feature_size=self.input_size,
+            input_size=self.latent_size, hidden_size=self.decoder_hidden_size,
+            output_size=self.output_size, node_types=self.node_types,
+            recurrent_arch_decoder=self.recurrent_arch_decoder,
+        )
+
+    def _z_act(self, h: Array) -> Array:
+        return jnp.tanh(h) if self.z_activation == "tanh" else h
+
+    def __call__(self, x: Array) -> Array:
+        return self.encode(x)
+
+    def encode(self, x: Array, last_index=None) -> Array:
+        h, _ = self.encoder(x, last_index=last_index)
+        return h
+
+    def get_past_embedding(self, past: Array) -> Array:
+        """stop-grad encoder + z activation (note the reference applies tanh
+        on an already-tanh'd encoder output, `autoencoder.py:51-55` — kept)."""
+        return self._z_act(jax.lax.stop_gradient(self.encode(past)))
+
+    def get_train_embeddings(self, y: Array, past: Array) -> Tuple[Array, Array]:
+        """(z_past detached, z with grad); reference `autoencoder.py:61-64`."""
+        return self.get_past_embedding(past), self.encode(y)
+
+    def decode(self, x: Array, h: Array, z: Array, ph: int = 1) -> Array:
+        """Decode latent ``h`` into ``ph`` future frames seeded by the last
+        two observed poses.  Parameter naming follows the reference
+        (`autoencoder.py:66-73`): ``h`` is the (sampled/future) latent the
+        decoder conditions on; ``z`` is accepted for API parity but unused —
+        the reference's decoder ignores it too (`decoder.py:85-104`).
+        """
+        out, _ = self.decoder(x[:, -2:], h, ph=ph)
+        return out
+
+    def autoencode(self, y: Array, past: Array, ph: int = 1) -> Tuple[Array, Array, Array]:
+        z_past, z = self.get_train_embeddings(y, past)
+        out = self.decode(past, z, z_past, ph=ph)
+        return out, z_past, z
+
+
+def autoencoder_loss(y_pred: Array, y: Array, loss_type: str = "l1", reduction: str = "mean") -> Array:
+    """L1/MSE summed over xyz, mean over joints and time; reference
+    `autoencoder.py:80-98`."""
+    if loss_type == "mse":
+        out = (y_pred - y) ** 2
+    elif loss_type in ("l1", "L1"):
+        out = jnp.abs(y_pred - y)
+    else:
+        raise NotImplementedError(loss_type)
+    loss = out.sum(-1).mean(-1).mean(-1)
+    if reduction == "mean":
+        return loss.mean()
+    if reduction == "none":
+        return loss
+    raise NotImplementedError(reduction)

@@ -1,0 +1,105 @@
+"""Joint-graph Denoiser: the diffusion network over per-joint latents
+[B, N, 96(+96 cond)].
+
+Mirrors the reference architecture (`src/core/network/nn/generator.py:8-107`):
+graph-linear stem → sinusoidal time MLP → depth×2 pairs of (FiLM'd
+ResnetBlock, joint-attention residual) with the last pair's attention
+replaced by identity → long skip-concat → final ResnetBlock → graph-linear
+head.  Default config: depth=4, heads=8, dim_head=32, learn_influence=True
+(`configs/config_train_diffusion/model/skeleton_diffusion.yaml:49-57`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import PreNormAttentionResidual, ResnetBlock, sinusoidal_pos_emb
+from ..ops.graph_linear import StaticGraphLinear
+from ..ops.initializers import torch_linear_weight
+
+Array = jnp.ndarray
+
+
+class Denoiser(nn.Module):
+    """Attributes follow the reference constructor (`generator.py:9-27`):
+
+    dim: latent feature size (96); cond_dim: conditioning feature size
+    (latent_size when conditioning, else 0); out_dim: output feature size;
+    channels/num_nodes: number of skeleton nodes N.
+    """
+
+    dim: int
+    out_dim: int
+    channels: int                      # = num_nodes (reference naming parity)
+    cond_dim: int = 0
+    depth: int = 1
+    node_types: Optional[np.ndarray] = None
+    learn_influence: bool = False
+    attn_dim_head: int = 32
+    attn_heads: int = 4
+    use_attention: bool = True
+    self_condition: bool = False
+    sinusoidal_pos_emb_theta: float = 10000.0
+
+    @nn.compact
+    def __call__(self, x: Array, time: Array, x_cond: Optional[Array] = None) -> Array:
+        num_nodes = self.channels
+        diffusion_size = self.dim + self.cond_dim
+        input_dim = self.dim * (2 if self.self_condition else 1) + self.cond_dim
+        time_dim = diffusion_size * 4
+        common = dict(
+            num_nodes=num_nodes, node_types=self.node_types, learn_influence=self.learn_influence
+        )
+
+        if self.self_condition:
+            # self-conditioning input defaults to zeros (`generator.py:88-90`)
+            x = jnp.concatenate([jnp.zeros_like(x), x], axis=-1)
+        if x_cond is not None:
+            x = jnp.concatenate([x_cond, x], axis=-1)
+
+        x = StaticGraphLinear(input_dim, diffusion_size, name="init_lin", **common)(x)
+        r = x
+
+        # time embedding MLP (`generator.py:50-55`); GELU is torch-exact (erf)
+        t = sinusoidal_pos_emb(time, diffusion_size, self.sinusoidal_pos_emb_theta)
+        t = nn.Dense(time_dim, kernel_init=torch_linear_weight(diffusion_size),
+                     bias_init=torch_linear_weight(diffusion_size), name="time_mlp0")(t)
+        t = nn.gelu(t, approximate=False)
+        t = nn.Dense(time_dim, kernel_init=torch_linear_weight(time_dim),
+                     bias_init=torch_linear_weight(time_dim), name="time_mlp1")(t)
+
+        # 2·depth (resnet, attention) pairs, last attention = identity
+        # (`generator.py:57-77,100-102`)
+        n_pairs = 2 * self.depth
+        for i in range(n_pairs):
+            x = ResnetBlock(
+                diffusion_size, diffusion_size, num_nodes=num_nodes, time_emb_dim=time_dim,
+                node_types=self.node_types, learn_influence=self.learn_influence,
+                name=f"res{i}",
+            )(x, t)
+            if i != n_pairs - 1:
+                if self.use_attention:
+                    x = PreNormAttentionResidual(
+                        diffusion_size, num_nodes=num_nodes, heads=self.attn_heads,
+                        dim_head=self.attn_dim_head, node_types=self.node_types,
+                        learn_influence=self.learn_influence, name=f"attn{i}",
+                    )(x)
+                else:
+                    from ..ops.attention import RMSNorm
+
+                    h = RMSNorm(diffusion_size, name=f"attn{i}_norm")(x)
+                    x = x + StaticGraphLinear(
+                        diffusion_size, diffusion_size, use_bias=False,
+                        name=f"attn{i}_lin", **common,
+                    )(h)
+
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock(
+            diffusion_size * 2, diffusion_size, num_nodes=num_nodes, time_emb_dim=time_dim,
+            node_types=self.node_types, learn_influence=self.learn_influence,
+            name="final_res_block",
+        )(x, t)
+        return StaticGraphLinear(diffusion_size, self.out_dim, name="final_glin", **common)(x)

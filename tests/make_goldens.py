@@ -29,10 +29,29 @@ torch.manual_seed(0)
 # table/maths extraction below.
 import types  # noqa: E402
 
+import math  # noqa: E402
+
+
+class _SinusoidalPosEmb(torch.nn.Module):
+    """Functional stand-in for lucidrains' SinusoidalPosEmb (standard
+    transformer sinusoidal embedding over scalar timesteps)."""
+
+    def __init__(self, dim, theta=10000):
+        super().__init__()
+        self.dim, self.theta = dim, theta
+
+    def forward(self, x):
+        half_dim = self.dim // 2
+        emb = math.log(self.theta) / (half_dim - 1)
+        emb = torch.exp(torch.arange(half_dim, device=x.device) * -emb)
+        emb = x[:, None] * emb[None, :]
+        return torch.cat((emb.sin(), emb.cos()), dim=-1)
+
+
 _ddp = types.ModuleType("denoising_diffusion_pytorch")
 _ddp1d = types.ModuleType("denoising_diffusion_pytorch.denoising_diffusion_pytorch_1d")
 _ddp1d.RandomOrLearnedSinusoidalPosEmb = object
-_ddp1d.SinusoidalPosEmb = object
+_ddp1d.SinusoidalPosEmb = _SinusoidalPosEmb
 _ddp.denoising_diffusion_pytorch_1d = _ddp1d
 sys.modules.setdefault("denoising_diffusion_pytorch", _ddp)
 sys.modules.setdefault("denoising_diffusion_pytorch.denoising_diffusion_pytorch_1d", _ddp1d)
@@ -149,6 +168,46 @@ def main():
         os.path.join(OUT, "cov_toy16.npz"),
         corr=corr16, Sigma_N=np64(S16), Lambda_N=np64(L16), U=np64(U16),
     )
+    # --- network forward parity: Denoiser + AutoEncoder ----------------------
+    from core.network import Denoiser  # noqa: E402
+    from core.network.nn import AutoEncoder  # noqa: E402
+
+    node_types = sk.nodes_type_id
+    den = Denoiser(
+        dim=96, cond_dim=96, out_dim=96, channels=N, num_nodes=N, node_types=node_types,
+        use_attention=True, self_condition=False, norm_type="none", depth=4,
+        attn_dim_head=32, attn_heads=8, learn_influence=True,
+    ).eval()
+    xb = torch.tensor(rng.standard_normal((3, N, 96)).astype(np.float32))
+    tb = torch.tensor([0, 4, 9], dtype=torch.long)
+    cb = torch.tensor(rng.standard_normal((3, N, 96)).astype(np.float32))
+    with torch.no_grad():
+        den_out = den(xb, tb, None, cb)
+    np.savez(
+        os.path.join(OUT, "denoiser_fwd.npz"),
+        x=xb.numpy(), t=tb.numpy(), cond=cb.numpy(), out=np64(den_out),
+        **{k: np64(v) for k, v in den.state_dict().items()},
+    )
+
+    ae = AutoEncoder(
+        num_nodes=N, encoder_hidden_size=96, decoder_hidden_size=96, latent_size=96,
+        node_types=node_types, input_size=3, z_activation="tanh", enc_num_layers=1,
+        loss_pose_type="l1", output_size=3, if_consider_hip=False,
+        recurrent_arch_enc="StaticGraphGRU", recurrent_arch_decoder="StaticGraphGRU",
+    ).eval()
+    past = torch.tensor(rng.standard_normal((3, 30, N, 3)).astype(np.float32)) * 0.3
+    fut = torch.tensor(rng.standard_normal((3, 24, N, 3)).astype(np.float32)) * 0.3
+    with torch.no_grad():
+        out, z_past, z = ae.autoencode(fut, past, ph=24)
+        dec = ae.decode(past, z, z_past, ph=24)
+        loss_none = ae.loss(out, fut, reduction="none")
+    np.savez(
+        os.path.join(OUT, "autoencoder_fwd.npz"),
+        past=past.numpy(), fut=fut.numpy(), out=np64(out), z_past=np64(z_past),
+        z=np64(z), dec=np64(dec), loss_none=np64(loss_none),
+        **{k: np64(v) for k, v in ae.state_dict().items()},
+    )
+
     print("goldens written to", OUT)
 
 

@@ -1,0 +1,65 @@
+"""Full-network numerical parity: port reference torch weights into the flax
+Denoiser/AutoEncoder and compare forward passes on fixed inputs."""
+import os
+
+import numpy as np
+import pytest
+
+from skeletondiffusion_tpu.models import AutoEncoder, Denoiser, autoencoder_loss
+from skeletondiffusion_tpu.skeleton import create_skeleton
+from skeletondiffusion_tpu.utils.torch_port import port_autoencoder, port_denoiser
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(GOLD, "denoiser_fwd.npz")),
+    reason="golden fixtures not generated",
+)
+
+
+@pytest.fixture(scope="module")
+def skeleton():
+    return create_skeleton(
+        dataset_name="amass", motion_repr_type="SkeletonRescalePose", num_joints=22,
+        pose_box_size=1.5, obs_length=30, pred_length=120, if_consider_hip=False,
+    )
+
+
+def test_denoiser_forward_matches_reference(skeleton):
+    import jax.numpy as jnp
+
+    g = np.load(os.path.join(GOLD, "denoiser_fwd.npz"))
+    sd = {k: g[k] for k in g.files if k not in ("x", "t", "cond", "out")}
+    N = skeleton.num_nodes
+    den = Denoiser(
+        dim=96, out_dim=96, channels=N, cond_dim=96, depth=4,
+        node_types=skeleton.nodes_type_id, learn_influence=True,
+        attn_dim_head=32, attn_heads=8,
+    )
+    params = {"params": port_denoiser(sd, depth=4)}
+    out = den.apply(params, jnp.asarray(g["x"]), jnp.asarray(g["t"]), jnp.asarray(g["cond"]))
+    np.testing.assert_allclose(np.asarray(out), g["out"], atol=2e-4)
+
+
+def test_autoencoder_forward_matches_reference(skeleton):
+    import jax.numpy as jnp
+
+    g = np.load(os.path.join(GOLD, "autoencoder_fwd.npz"))
+    sd = {k: g[k] for k in g.files if k not in ("past", "fut", "out", "z_past", "z", "dec", "loss_none")}
+    N = skeleton.num_nodes
+    ae = AutoEncoder(
+        num_nodes=N, encoder_hidden_size=96, decoder_hidden_size=96, latent_size=96,
+        node_types=skeleton.nodes_type_id,
+    )
+    params = {"params": port_autoencoder(sd)}
+    past, fut = jnp.asarray(g["past"]), jnp.asarray(g["fut"])
+    out, z_past, z = ae.apply(params, fut, past, ph=24, method=AutoEncoder.autoencode)
+    np.testing.assert_allclose(np.asarray(z), g["z"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z_past), g["z_past"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out), g["out"], atol=1e-3)
+
+    dec = ae.apply(params, past, z, z_past, ph=24, method=AutoEncoder.decode)
+    np.testing.assert_allclose(np.asarray(dec), g["dec"], atol=1e-3)
+
+    loss = autoencoder_loss(out, fut, loss_type="l1", reduction="none")
+    np.testing.assert_allclose(np.asarray(loss), g["loss_none"], atol=1e-3)
