@@ -1,0 +1,97 @@
+"""FID over a pretrained H36M action-classifier's GRU features.
+
+Reference `src/metrics/{fid,fid_classifier}.py`: a 2-layer GRU classifier on
+48-dim (16 joints × 3) pose features; FID = Fréchet distance between
+activation statistics of predictions and ground truth.  The classifier here
+is a flax module with a ``port_classifier`` converter for the reference's
+``h36m_classifier.pth`` torch weights.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+class ClassifierForFID(nn.Module):
+    """2-layer GRU (torch nn.GRU semantics) + 2 linear heads; reference
+    `fid_classifier.py:5-57`."""
+
+    input_size: int = 48
+    hidden_size: int = 128
+    hidden_layer: int = 2
+    output_size: int = 15
+
+    @nn.compact
+    def _gru_features(self, motion: Array, h0: Array) -> Array:
+        """motion [B, F, T] (reference layout) → last GRU output [B, H]."""
+        x = jnp.transpose(motion, (0, 2, 1))  # [B, T, F]
+
+        for layer in range(self.hidden_layer):
+            in_size = self.input_size if layer == 0 else self.hidden_size
+            w_ih = self.param(f"w_ih_l{layer}", nn.initializers.lecun_normal(), (in_size, 3 * self.hidden_size))
+            w_hh = self.param(f"w_hh_l{layer}", nn.initializers.lecun_normal(), (self.hidden_size, 3 * self.hidden_size))
+            b_ih = self.param(f"b_ih_l{layer}", nn.initializers.zeros, (3 * self.hidden_size,))
+            b_hh = self.param(f"b_hh_l{layer}", nn.initializers.zeros, (3 * self.hidden_size,))
+
+            def step(h, xt, w_ih=w_ih, w_hh=w_hh, b_ih=b_ih, b_hh=b_hh):
+                gi = xt @ w_ih + b_ih
+                gh = h @ w_hh + b_hh
+                i_r, i_z, i_n = jnp.split(gi, 3, -1)
+                h_r, h_z, h_n = jnp.split(gh, 3, -1)
+                r = jax.nn.sigmoid(i_r + h_r)
+                z = jax.nn.sigmoid(i_z + h_z)
+                n = jnp.tanh(i_n + r * h_n)
+                hy = (1 - z) * n + z * h
+                return hy, hy
+
+            h_final, ys = jax.lax.scan(step, h0[layer], jnp.swapaxes(x, 0, 1))
+            x = jnp.swapaxes(ys, 0, 1)
+        return x[:, -1]
+
+    def get_fid_features(self, motion: Array, h0: Array) -> Array:
+        """[B, 48, T] → tanh(linear1(gru_last)) [B, 30]; reference
+        `fid_classifier.py:41-52`."""
+        g = self._gru_features(motion, h0)
+        lin1 = nn.Dense(30, name="linear1")(g)
+        return jnp.tanh(lin1)
+
+    def __call__(self, motion: Array, h0: Array) -> Array:
+        feats = self.get_fid_features(motion, h0)
+        return nn.Dense(self.output_size, name="linear2")(feats)
+
+
+def port_classifier(sd: Dict[str, np.ndarray], hidden_layer: int = 2) -> Dict:
+    """Reference torch ``h36m_classifier.pth`` state_dict → flax params."""
+    p: Dict[str, np.ndarray] = {}
+    for l in range(hidden_layer):
+        p[f"w_ih_l{l}"] = sd[f"recurrent.weight_ih_l{l}"].T
+        p[f"w_hh_l{l}"] = sd[f"recurrent.weight_hh_l{l}"].T
+        p[f"b_ih_l{l}"] = sd[f"recurrent.bias_ih_l{l}"]
+        p[f"b_hh_l{l}"] = sd[f"recurrent.bias_hh_l{l}"]
+    p["linear1"] = {"kernel": sd["linear1.weight"].T, "bias": sd["linear1.bias"]}
+    p["linear2"] = {"kernel": sd["linear2.weight"].T, "bias": sd["linear2.bias"]}
+    return p
+
+
+def fid_from_activations(act1: np.ndarray, act2: np.ndarray, eps: float = 1e-6) -> float:
+    """Fréchet distance between activation statistics; reference
+    `fid.py:16-73` (Dougal Sutherland's stable formulation)."""
+    from scipy import linalg
+
+    mu1, mu2 = act1.mean(0), act2.mean(0)
+    s1 = np.cov(act1, rowvar=False)
+    s2 = np.cov(act2, rowvar=False)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(s1.dot(s2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(s1.shape[0]) * eps
+        covmean = linalg.sqrtm((s1 + offset).dot(s2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(s1) + np.trace(s2) - 2 * np.trace(covmean))

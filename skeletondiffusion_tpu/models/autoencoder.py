@@ -213,9 +213,11 @@ class AutoEncoder(nn.Module):
         on an already-tanh'd encoder output, `autoencoder.py:51-55` — kept)."""
         return self._z_act(jax.lax.stop_gradient(self.encode(past)))
 
-    def get_train_embeddings(self, y: Array, past: Array) -> Tuple[Array, Array]:
-        """(z_past detached, z with grad); reference `autoencoder.py:61-64`."""
-        return self.get_past_embedding(past), self.encode(y)
+    def get_train_embeddings(self, y: Array, past: Array, y_last_index=None) -> Tuple[Array, Array]:
+        """(z_past detached, z with grad); reference `autoencoder.py:61-64`.
+        ``y_last_index`` lets curriculum training encode a dynamic-length
+        future inside one compiled program (see ``Encoder.__call__``)."""
+        return self.get_past_embedding(past), self.encode(y, last_index=y_last_index)
 
     def decode(self, x: Array, h: Array, z: Array, ph: int = 1) -> Array:
         """Decode latent ``h`` into ``ph`` future frames seeded by the last
@@ -227,8 +229,8 @@ class AutoEncoder(nn.Module):
         out, _ = self.decoder(x[:, -2:], h, ph=ph)
         return out
 
-    def autoencode(self, y: Array, past: Array, ph: int = 1) -> Tuple[Array, Array, Array]:
-        z_past, z = self.get_train_embeddings(y, past)
+    def autoencode(self, y: Array, past: Array, ph: int = 1, y_last_index=None) -> Tuple[Array, Array, Array]:
+        z_past, z = self.get_train_embeddings(y, past, y_last_index=y_last_index)
         out = self.decode(past, z, z_past, ph=ph)
         return out, z_past, z
 

@@ -20,7 +20,12 @@ class EMAState(NamedTuple):
 
 
 def ema_init(params) -> EMAState:
-    return EMAState(params=jax.tree.map(jnp.asarray, params), step=jnp.asarray(0, jnp.int32))
+    # jnp.array (copy=True) — the EMA tree must NOT alias the live params,
+    # otherwise buffer donation of a train state containing both fails with
+    # "Attempt to donate the same buffer twice"
+    return EMAState(
+        params=jax.tree.map(lambda p: jnp.array(p), params), step=jnp.asarray(0, jnp.int32)
+    )
 
 
 def ema_update(

@@ -1,0 +1,133 @@
+"""Stage-1 trainer: graph-recurrent AutoEncoder with prediction-horizon
+curriculum.
+
+Mirrors reference `src/core/trainer.py:17-104` (``AutoEncoderTrainer``):
+AdamW(amsgrad) + grad-clip 1.0, cosine-annealed curriculum growing the
+decoded horizon from 1 to full with a randomized lower bound.  TPU-native
+twist: the dynamic horizon ``ph`` is a *traced scalar* — the decoder always
+rolls out the full horizon inside one compiled program and the loss is
+masked to the first ``ph`` frames; the future encoder reads the hidden state
+at step ``ph-1`` (causal GRU ⇒ identical to truncating).  One XLA program
+for all curriculum stages instead of one compile per horizon.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.autoencoder import AutoEncoder
+from .schedulers import CurriculumPH, make_lr_scheduler
+
+
+class AETrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class AutoEncoderTrainer:
+    def __init__(
+        self,
+        model: AutoEncoder,
+        lr: float,
+        iter_per_epoch: int,
+        prediction_horizon_train: int,
+        prediction_horizon_eval: int,
+        curriculum_it: int = 0,
+        clip_grad_norm: Optional[float] = 1.0,
+        use_lr_scheduler: bool = False,
+        lr_scheduler_kwargs: Optional[dict] = None,
+        weight_decay: float = 1e-2,  # torch AdamW default, implied by `trainer.py:33`
+        prediction_horizon_train_min: int = 10,
+        prediction_horizon_train_min_from_epoch: int = 200,
+        random_prediction_horizon: bool = True,
+        loss_pose_type: str = "l1",
+        seed: int = 0,
+        **config,
+    ):
+        self.model = model
+        self.lr = lr
+        self.ph_train = prediction_horizon_train
+        self.ph_eval = prediction_horizon_eval
+        self.loss_pose_type = loss_pose_type
+        self.curriculum = CurriculumPH(
+            prediction_horizon_train=prediction_horizon_train,
+            prediction_horizon_train_min=prediction_horizon_train_min,
+            prediction_horizon_train_min_from_epoch=prediction_horizon_train_min_from_epoch,
+            curriculum_it=curriculum_it,
+            random_prediction_horizon=random_prediction_horizon,
+            iter_per_epoch=iter_per_epoch,
+            seed=seed,
+        )
+        self.lr_scheduler = (
+            make_lr_scheduler(lr=lr, **(lr_scheduler_kwargs or {})) if use_lr_scheduler else None
+        )
+        tx = [optax.clip_by_global_norm(clip_grad_norm)] if clip_grad_norm else []
+        tx += [optax.scale_by_amsgrad(), optax.add_decayed_weights(weight_decay)]
+        self.tx = optax.chain(*tx)
+        self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_val = jax.jit(self._validation_step)
+
+    # ---- state ------------------------------------------------------------
+    def init(self, rng: jax.Array, example_x: jnp.ndarray, example_y: jnp.ndarray) -> AETrainState:
+        params = self.model.init(
+            rng, example_y, example_x, ph=self.ph_train, method=AutoEncoder.autoencode
+        )
+        return AETrainState(params=params, opt_state=self.tx.init(params), step=jnp.asarray(0))
+
+    # ---- steps ---------------------------------------------------------------
+    def _masked_loss(self, pred, y, ph):
+        """L1/MSE sum over xyz, mean joints, masked mean over the first
+        ``ph`` frames (≡ reference loss on ``y[:, :ph]``,
+        `autoencoder.py:80-98` + `trainer.py:84-89`)."""
+        if self.loss_pose_type == "mse":
+            el = (pred - y) ** 2
+        else:
+            el = jnp.abs(pred - y)
+        per_frame = el.sum(-1).mean(-1)  # [B, PH]
+        mask = (jnp.arange(per_frame.shape[1]) < ph).astype(per_frame.dtype)
+        return (per_frame * mask).sum(-1) / ph
+
+    def _train_step(self, state: AETrainState, rng, x, y, ph, lr):
+        def loss_fn(params):
+            pred, _, _ = self.model.apply(
+                params, y, x, ph=self.ph_train, y_last_index=ph - 1,
+                method=AutoEncoder.autoencode,
+            )
+            return self._masked_loss(pred, y, ph).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return AETrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+    def train_step(self, state: AETrainState, rng, batch, epoch: int, iteration: int):
+        """Host-side wrapper: resolves curriculum ph + lr, calls the jitted
+        step.  Returns (state, loss, ph)."""
+        x, y = batch
+        ph = self.curriculum(epoch, iteration)
+        lr = self.lr if self.lr_scheduler is None else self.lr_scheduler._current
+        state, loss = self._jit_step(
+            state, rng, x, y, jnp.asarray(ph, jnp.int32), jnp.asarray(lr, jnp.float32)
+        )
+        return state, loss, ph
+
+    def epoch_started(self, epoch: int):
+        if self.lr_scheduler is not None:
+            self.lr_scheduler.step(epoch)
+
+    def _validation_step(self, params, x, y):
+        pred, z_past, z = self.model.apply(
+            params, y, x, ph=self.ph_eval, method=AutoEncoder.autoencode
+        )
+        return pred, z
+
+    def validation_step(self, state: AETrainState, batch):
+        x, y = batch
+        pred, z = self._jit_val(state.params, x, y)
+        return pred, y, x, z

@@ -20,6 +20,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_skeldiff")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+import jax  # noqa: E402
+
+# a site package may have imported jax before this conftest ran, in which
+# case the env var above was read too late — force the config directly
+# (backends are initialized lazily, so this still wins)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_skeldiff")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+assert jax.default_backend() == "cpu"
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -208,6 +208,42 @@ def main():
         **{k: np64(v) for k, v in ae.state_dict().items()},
     )
 
+    # --- metric goldens -------------------------------------------------------
+    from metrics.multimodal import ade as r_ade, fde as r_fde, apd as r_apd, mae as r_mae, \
+        mmade as r_mmade, mmfde as r_mmfde, lat_apd as r_lat_apd, mpjpe as r_mpjpe
+    from metrics.body_realism import (
+        limb_stretching_normed_mean as r_lsm, limb_stretching_normed_rmse as r_lsr,
+        limb_jitter_normed_mean as r_ljm, limb_jitter_normed_rmse as r_ljr,
+        limb_length_error as r_lle, limb_length_variance as r_llv,
+    )
+
+    B, S, T_, J = 4, 6, 10, N
+    pred = torch.tensor(rng.standard_normal((B, S, T_, J, 3)).astype(np.float32)) * 0.3 + 1.0
+    targ = torch.tensor(rng.standard_normal((B, T_, J, 3)).astype(np.float32)) * 0.3 + 1.0
+    mm_counts = [2, 5, 1, 3]
+    mm_list = [
+        torch.tensor(rng.standard_normal((m, T_, J, 3)).astype(np.float32)) * 0.3 + 1.0
+        for m in mm_counts
+    ]
+    limbseq = sk.get_limbseq()
+    lai = sk.limb_angles_idx
+    gold = dict(
+        pred=pred.numpy(), target=targ.numpy(), mm_counts=np.asarray(mm_counts),
+        mm_flat=np.concatenate([m.numpy() for m in mm_list], axis=0),
+        ade=np64(r_ade(targ, pred)), fde=np64(r_fde(targ, pred)), apd=np64(r_apd(pred)),
+        mpjpe=np64(r_mpjpe(targ, pred)),
+        mae=np64(r_mae(targ, pred, limbseq=limbseq.copy(), limb_angles_idx=lai)),
+        mmade=np64(r_mmade(targ, pred, mm_list)), mmfde=np64(r_mmfde(targ, pred, mm_list)),
+        lat_apd=np64(r_lat_apd(pred.reshape(B, S, -1))),
+        stretch_mean=np64(r_lsm(pred, targ, limbseq=limbseq)),
+        stretch_rmse=np64(r_lsr(pred, targ, limbseq=limbseq)),
+        jitter_mean=np64(r_ljm(pred, targ, limbseq=limbseq)),
+        jitter_rmse=np64(r_ljr(pred, targ, limbseq=limbseq)),
+        limb_err=np64(r_lle(targ, pred, limbseq=limbseq)),
+        limb_var=np64(r_llv(pred, limbseq=limbseq)),
+    )
+    np.savez(os.path.join(OUT, "metrics.npz"), **gold)
+
     print("goldens written to", OUT)
 
 

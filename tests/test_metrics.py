@@ -1,0 +1,97 @@
+"""Metric parity vs reference golden values + padded-mm-GT equivalence."""
+import os
+
+import numpy as np
+import pytest
+
+from skeletondiffusion_tpu.metrics import (
+    ade,
+    apd,
+    fde,
+    lat_apd,
+    limb_length_error,
+    limb_length_variance,
+    limb_jitter_normed_mean,
+    limb_jitter_normed_rmse,
+    limb_stretching_normed_mean,
+    limb_stretching_normed_rmse,
+    mae,
+    mmade,
+    mmfde,
+    mpjpe,
+)
+from skeletondiffusion_tpu.skeleton import create_skeleton
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens", "metrics.npz")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(GOLD), reason="goldens not generated")
+
+
+@pytest.fixture(scope="module")
+def g():
+    return np.load(GOLD)
+
+
+@pytest.fixture(scope="module")
+def sk():
+    return create_skeleton(
+        dataset_name="amass", motion_repr_type="SkeletonRescalePose", num_joints=22,
+        pose_box_size=1.5, obs_length=30, pred_length=120, if_consider_hip=False,
+    )
+
+
+def _padded_mmgt(g):
+    counts = g["mm_counts"]
+    flat = g["mm_flat"]
+    M = counts.max()
+    B = len(counts)
+    T, J, _ = flat.shape[1:]
+    mm = np.zeros((B, M, T, J, 3), np.float32)
+    mask = np.zeros((B, M), bool)
+    off = 0
+    for i, c in enumerate(counts):
+        mm[i, :c] = flat[off : off + c]
+        mask[i, :c] = True
+        off += c
+    return mm, mask
+
+
+def test_sampleset_metrics_match(g, sk):
+    pred, targ = g["pred"], g["target"]
+    np.testing.assert_allclose(np.asarray(ade(targ, pred)), g["ade"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fde(targ, pred)), g["fde"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(apd(pred)), g["apd"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mpjpe(targ, pred)), g["mpjpe"], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mae(targ, pred, sk.get_limbseq(), sk.limb_angles_idx)), g["mae"], atol=1e-3
+    )
+    B, S = pred.shape[:2]
+    np.testing.assert_allclose(
+        np.asarray(lat_apd(pred.reshape(B, S, -1))), g["lat_apd"], rtol=1e-5
+    )
+
+
+def test_mm_metrics_match_with_padding(g, sk):
+    pred, targ = g["pred"], g["target"]
+    mm, mask = _padded_mmgt(g)
+    np.testing.assert_allclose(np.asarray(mmade(targ, pred, mm, mask)), g["mmade"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mmfde(targ, pred, mm, mask)), g["mmfde"], atol=1e-5)
+
+
+def test_limb_metrics_match(g, sk):
+    pred, targ = g["pred"], g["target"]
+    ls = sk.get_limbseq()
+    np.testing.assert_allclose(
+        np.asarray(limb_stretching_normed_mean(pred, targ, ls)), g["stretch_mean"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(limb_stretching_normed_rmse(pred, targ, ls)), g["stretch_rmse"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(limb_jitter_normed_mean(pred, targ, ls)), g["jitter_mean"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(limb_jitter_normed_rmse(pred, targ, ls)), g["jitter_rmse"], atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(limb_length_error(targ, pred, ls)), g["limb_err"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(limb_length_variance(pred, ls)), g["limb_var"], atol=1e-5)
