@@ -1,0 +1,172 @@
+"""Batching + ON-DEVICE preprocessing: the TPU-native input pipeline.
+
+The reference applies mirroring/rotation/input-space transforms per item in
+CPU dataloader workers (`motion_dataset.py:129-192`).  Here the host only
+stacks raw numpy segments; ``preprocess_batch`` applies the same
+augmentations VECTORIZED on device inside whatever jitted program consumes
+the batch — per-item rotation matrices come from a single
+``jax.random`` call, so the host (often a single core next to a TPU) never
+touches the pose tensors.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def preprocess_batch(
+    skeleton,
+    rng: jax.Array,
+    obs: Array,
+    pred: Array,
+    mm_gt: Optional[Array] = None,
+    train: bool = True,
+    da_mirroring: float = 0.0,
+    da_rotations: float = 0.0,
+    if_noisy_obs: bool = False,
+    noise_level: float = 0.25,
+    noise_std: float = 0.02,
+):
+    """Jittable: raw metric-space (obs [B,To,J,3], pred [B,Tp,J,3], optional
+    mm_gt [B,M,Tp,J,3]) → augmented input-space tensors.
+
+    Augmentation semantics follow reference `motion_dataset.py:129-165`:
+    x/y mirroring each with prob ``da_mirroring``, one shared z-rotation of
+    an integer degree in [0,360) with prob ``da_rotations`` — identical
+    transform applied to obs/pred/mm_gt of the same item.
+    """
+    B = obs.shape[0]
+    k_mx, k_my, k_rotp, k_deg, k_noise, k_nmask = jax.random.split(rng, 6)
+
+    def apply_all(fn, obs, pred, mm_gt):
+        obs, pred = fn(obs), fn(pred)
+        if mm_gt is not None:
+            mm_gt = fn(mm_gt)
+        return obs, pred, mm_gt
+
+    if train and da_mirroring > 0:
+        for axis, key in ((0, k_mx), (1, k_my)):
+            flip = jax.random.uniform(key, (B,)) < da_mirroring
+            sign_vec = jnp.where(
+                flip[:, None], jnp.ones((B, 3)).at[:, axis].set(-1.0), jnp.ones((B, 3))
+            )  # [B,3]
+
+            def mirror(x, sign_vec=sign_vec):
+                # broadcast over (time[, mmgt], joints): all dims between B and xyz
+                return x * sign_vec.reshape(B, *([1] * (x.ndim - 2)), 3)
+
+            obs, pred, mm_gt = apply_all(mirror, obs, pred, mm_gt)
+
+    if train and da_rotations > 0:
+        deg = jax.random.randint(k_deg, (B,), 0, 360).astype(jnp.float32)
+        theta = deg * (jnp.pi / 180.0)
+        rotate_on = jax.random.uniform(k_rotp, (B,)) < da_rotations
+        theta = jnp.where(rotate_on, theta, 0.0)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        zeros, ones = jnp.zeros_like(c), jnp.ones_like(c)
+        # scipy R.from_euler('z', d).as_matrix()
+        rot = jnp.stack(
+            [jnp.stack([c, -s, zeros], -1), jnp.stack([s, c, zeros], -1),
+             jnp.stack([zeros, zeros, ones], -1)], axis=-2,
+        )  # [B,3,3]
+
+        def rotate(x, rot=rot):
+            extra = x.ndim - 3
+            r = rot.reshape(B, *([1] * extra), 3, 3)
+            return jnp.einsum("...ij,...nj->...ni", r, x)
+
+        obs, pred, mm_gt = apply_all(rotate, obs, pred, mm_gt)
+
+    if if_noisy_obs:
+        # noise on non-root joints with per-joint mask; reference
+        # `motion_dataset.py:11-19,187-188`
+        body = obs[..., 1:, :]
+        noise = jax.random.normal(k_noise, body.shape) * noise_std
+        mask = jax.random.uniform(k_nmask, body.shape[:-1]) < noise_level
+        obs = obs.at[..., 1:, :].set(body + noise * mask[..., None])
+
+    To = obs.shape[-3]
+    data = jnp.concatenate([obs, pred], axis=-3)
+    data = skeleton.tranform_to_input_space(data)
+    obs_t, pred_t = data[..., :To, :, :], data[..., To:, :, :]
+    if mm_gt is not None:
+        mm_gt = skeleton.tranform_to_input_space(mm_gt)
+    return obs_t, pred_t, mm_gt
+
+
+def collate(batch_items: List[Tuple], max_mmgt: int = 0) -> Dict[str, np.ndarray]:
+    """Stack raw segments; pad the ragged mm-GT neighbor axis to a fixed
+    ``max_mmgt`` (static shapes for jit — replaces the reference's Python
+    list collate, `motion_dataset.py:21-29`)."""
+    obs = np.stack([b[0] for b in batch_items])
+    pred = np.stack([b[1] for b in batch_items])
+    out: Dict[str, np.ndarray] = {"obs": obs, "pred": pred}
+    extras = [b[2] for b in batch_items]
+    if "mm_gt" in extras[0]:
+        B = len(batch_items)
+        Tp, J, F = pred.shape[1:]
+        mm = np.zeros((B, max_mmgt, Tp, J, F), dtype=pred.dtype)
+        mask = np.zeros((B, max_mmgt), dtype=bool)
+        for i, e in enumerate(extras):
+            m = min(len(e["mm_gt"]), max_mmgt)
+            mm[i, :m] = e["mm_gt"][:m]
+            mask[i, :m] = True
+        out["mm_gt"] = mm
+        out["mm_mask"] = mask
+    out["segment_idx"] = np.asarray([e["segment_idx"] for e in extras])
+    out["metadata"] = [e["metadata"] for e in extras]
+    return out
+
+
+class DataLoader:
+    """Minimal epoch iterator: shuffle, batch, collate, optional pad-to-full
+    final batch (static shapes).  Replaces torch DataLoader + workers — with
+    device-side preprocessing the host work is just numpy slicing."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        pad_last: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        max_m = getattr(self.dataset, "max_mmgt_count", 0)
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    return
+                if self.pad_last:
+                    pad = self._rng.choice(order, self.batch_size - len(idx))
+                    idx = np.concatenate([idx, pad])
+            items = [self.dataset[int(i)] for i in idx]
+            batch = collate(items, max_mmgt=max_m)
+            batch["_count"] = np.asarray(len(idx) if not self.pad_last else self.batch_size)
+            yield batch

@@ -1,0 +1,87 @@
+"""Device mesh + sharding (the one genuinely new first-class layer vs the
+reference, which is single-process single-GPU — SURVEY.md §2.7).
+
+Design (scaling-book recipe): pick a mesh, annotate shardings on the inputs
+and params, let XLA/GSPMD insert the collectives.
+
+* ``data`` axis: batch (and the 50-sample fan-out, which lives flattened in
+  the batch axis) — gradients are psum'd over ICI automatically when params
+  are replicated and batches sharded.
+* ``model`` axis: kept available for tensor-parallel layouts.  At this model
+  scale (~32M-param denoiser) TP is not needed for memory, but
+  ``shard_params_model_axis`` demonstrates a real 2D layout by sharding the
+  per-node-type weight banks' output features across the axis.
+
+Multi-host: ``maybe_initialize_distributed`` wires ``jax.distributed`` so
+the same code spans DCN-connected hosts.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed():
+    """Initialize jax.distributed from standard env vars when present (DCN
+    multi-host); harmless no-op single-host."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def create_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    axis_names: Tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """(data × model) mesh over the available devices.  ``model_parallel``
+    must divide the device count; the data axis gets the rest."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch) over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Device-put every array leaf with its batch axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_params_model_axis(mesh: Mesh, params: Any, min_size: int = 2**16) -> Any:
+    """Tensor-parallel layout: shard large weight tensors' LAST dimension
+    (output features) over the 'model' axis where divisible; everything else
+    replicated.  With model=1 this degenerates to replication."""
+    model_size = mesh.shape["model"]
+
+    def place(x):
+        if (
+            model_size > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 2
+            and x.size >= min_size
+            and x.shape[-1] % model_size == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1) + ["model"]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(place, params)

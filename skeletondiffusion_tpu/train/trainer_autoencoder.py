@@ -77,6 +77,7 @@ class AutoEncoderTrainer:
         params = self.model.init(
             rng, example_y, example_x, ph=self.ph_train, method=AutoEncoder.autoencode
         )
+        params = jax.tree.map(lambda p: jnp.array(p), params)
         return AETrainState(params=params, opt_state=self.tx.init(params), step=jnp.asarray(0))
 
     # ---- steps ---------------------------------------------------------------

@@ -91,6 +91,9 @@ class TrainerDiffusion:
 
     # ---- state ---------------------------------------------------------------
     def init(self, params) -> DiffTrainState:
+        # defensive copy: the first (donating) train step would otherwise
+        # invalidate the caller's param buffers
+        params = jax.tree.map(lambda p: jnp.array(p), params)
         return DiffTrainState(
             params=params,
             opt_state=self.tx.init(params),

@@ -1,0 +1,128 @@
+"""Data pipeline tests on a synthetic AMASS-format fixture."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from skeletondiffusion_tpu.data import (
+    AMASSDataset,
+    DataLoader,
+    compute_multimodal_gt_for_dataset,
+    get_multimodal_gt,
+    preprocess_batch,
+)
+from skeletondiffusion_tpu.skeleton import create_skeleton
+
+OBS, PRED, J = 6, 10, 22
+
+
+@pytest.fixture(scope="module")
+def skeleton():
+    return create_skeleton(
+        dataset_name="amass", motion_repr_type="SkeletonRescalePose", num_joints=J,
+        pose_box_size=1.5, obs_length=OBS, pred_length=PRED, if_consider_hip=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    """Synthetic data_3d_amass.npz + test segments csv + mm-GT file."""
+    root = tmp_path_factory.mktemp("amass")
+    rng = np.random.default_rng(0)
+    positions = {}
+    for ds in ("ACCAD", "CMU"):
+        positions[ds] = {}
+        for fi in range(3):
+            T = int(rng.integers(40, 80))
+            positions[ds][fi] = rng.standard_normal((T, J, 3)).astype(np.float32) * 0.3
+    np.savez(os.path.join(root, "data_3d_amass.npz"), positions_3d=positions)
+
+    # test-split csv referencing a subset (format of segments_test.csv)
+    import pandas as pd
+
+    rows = []
+    for ds in ("ACCAD", "CMU"):
+        for fi in range(3):
+            T = positions[ds][fi].shape[0]
+            for init in range(OBS, T - PRED, 13):
+                rows.append({"dataset": ds, "file": f"f{fi}", "file_idx": fi,
+                             "pred_init": init, "pred_end": init + PRED - 1})
+    pd.DataFrame(rows).to_csv(os.path.join(root, "segments_test.csv"), index=False)
+    return str(root)
+
+
+def test_train_dataset_and_loader(fixture_dir, skeleton):
+    ds = AMASSDataset(
+        datasets=["ACCAD", "CMU"], split="train", precomputed_folder=fixture_dir,
+        skeleton=skeleton, obs_length=OBS, pred_length=PRED, stride=2, augmentation=1,
+        da_mirroring=0.5, da_rotations=1.0, if_consider_hip=False, silent=True,
+    )
+    assert len(ds) > 0
+    obs, pred, extra = ds[0]
+    assert obs.shape == (OBS, J, 3) and pred.shape == (PRED, J, 3)
+
+    dl = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=0)
+    batch = next(iter(dl))
+    assert batch["obs"].shape == (4, OBS, J, 3)
+
+    import jax
+
+    obs_t, pred_t, _ = preprocess_batch(
+        skeleton, jax.random.key(0), batch["obs"], batch["pred"],
+        train=True, da_mirroring=0.5, da_rotations=1.0,
+    )
+    # input space drops the root joint
+    assert obs_t.shape == (4, OBS, J - 1, 3)
+    assert pred_t.shape == (4, PRED, J - 1, 3)
+    # augmentation is rigid: limb lengths preserved in input space scale
+    ll_raw = np.asarray(skeleton.extract_limb_length(
+        np.asarray(skeleton.tranform_to_input_space(batch["pred"]))[..., :, :],
+        mode="node"))
+    ll_aug = np.asarray(skeleton.extract_limb_length(np.asarray(pred_t), mode="node"))
+    np.testing.assert_allclose(np.sort(ll_aug[..., 0].ravel()), np.sort(ll_raw[..., 0].ravel()), atol=1e-4)
+
+
+def test_test_split_segments_csv(fixture_dir, skeleton):
+    ds = AMASSDataset(
+        datasets=["ACCAD", "CMU"], split="test", precomputed_folder=fixture_dir,
+        skeleton=skeleton, obs_length=OBS, pred_length=PRED,
+        segments_path=os.path.join(fixture_dir, "segments_test.csv"),
+        if_consider_hip=False, silent=True,
+    )
+    assert ds.stride == 1 and ds.augmentation == 0
+    obs, pred, _ = ds[0]
+    assert obs.shape == (OBS, J, 3)
+
+
+def test_mmgt_roundtrip(fixture_dir, skeleton):
+    ds = AMASSDataset(
+        datasets=["ACCAD", "CMU"], split="test", precomputed_folder=fixture_dir,
+        skeleton=skeleton, obs_length=OBS, pred_length=PRED,
+        segments_path=os.path.join(fixture_dir, "segments_test.csv"),
+        if_consider_hip=False, silent=True,
+    )
+    dest = os.path.join(fixture_dir, "mmgt_test.txt")
+    mmgt = compute_multimodal_gt_for_dataset(ds, skeleton, multimodal_threshold=3.0, dest_path=dest)
+    assert all(i in mmgt[j] for i in mmgt for j in mmgt[i]), "mm-GT must be symmetric"
+    assert all(i in mmgt[i] for i in mmgt), "self always within threshold"
+
+    # reload through the dataset path, padded collate carries masks
+    ds2 = AMASSDataset(
+        datasets=["ACCAD", "CMU"], split="test", precomputed_folder=fixture_dir,
+        skeleton=skeleton, obs_length=OBS, pred_length=PRED,
+        segments_path=os.path.join(fixture_dir, "segments_test.csv"),
+        if_consider_hip=False, if_load_mmgt=True, silent=True,
+    )
+    assert ds2.max_mmgt_count >= 1
+    dl = DataLoader(ds2, batch_size=3, shuffle=False)
+    batch = next(iter(dl))
+    assert batch["mm_gt"].shape[:2] == (3, ds2.max_mmgt_count)
+    assert batch["mm_mask"][:, 0].all()
+
+
+def test_chunked_mmgt_matches_direct(rng):
+    frames = rng.standard_normal((50, 5, 3))
+    full = get_multimodal_gt(frames, 1.5, chunk=64)
+    chunked = get_multimodal_gt(frames, 1.5, chunk=7)
+    assert full == chunked
