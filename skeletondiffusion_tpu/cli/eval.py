@@ -1,0 +1,150 @@
+"""Flagship eval CLI: full probabilistic metric suite over a test split.
+
+    python eval.py dataset=amass checkpoint_path=<exp_dir> stats_mode=probabilistic
+
+Reference entry point `eval.py:128-196` — method plugins selected by name
+(`eval.py:154-159`): SkeletonDiffusion (trained model) or the ZeroVelocity
+algorithmic baseline.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+import yaml
+
+from ..diffusion.manager import create_diffusion
+from ..eval_pipeline import (
+    SkeletonDiffusionPredictor,
+    ZeroVelocityPredictor,
+    compute_metrics,
+)
+from ..metrics.suite import draw_table
+from ..models import AutoEncoder
+from ..train.checkpoint import CheckpointManager
+from ..train.trainer_diffusion import DiffTrainState
+from ..train.ema import EMAState
+from ..utils import AverageTimer, ResultStorer, flatten_config, load_config
+from .common import build_autoencoder, build_dataset, build_skeleton
+from .train_diffusion import load_frozen_autoencoder
+
+
+def prepare_model(cfg: Dict, skeleton):
+    """Load AE + diffusion checkpoints into a predictor; reference
+    `src/eval_prepare_model.py:54-85`."""
+    exp_dir = cfg["checkpoint_path"]
+    with open(os.path.join(exp_dir, "config.yaml")) as f:
+        train_cfg = yaml.safe_load(f)
+    # stored training config merges UNDER the current eval config
+    # (reference `eval.py:161-166`)
+    merged = dict(train_cfg)
+    merged.update(cfg)
+    cfg = merged
+
+    autoencoder, ae_params = load_frozen_autoencoder(cfg, skeleton)
+    diffusion, denoiser = create_diffusion(skeleton, latent_size=cfg["latent_size"], **{
+        k: v for k, v in cfg.items()
+        if k in (
+            "diffusion_type", "covariance_matrix_type", "reachability_matrix_degree_factor",
+            "reachability_matrix_stop_at", "if_sigma_n_scale", "sigma_n_scale",
+            "if_run_as_isotropic", "diffusion_conditioning", "diffusion_timesteps",
+            "diffusion_objective", "beta_schedule", "beta_schedule_factor",
+            "diffusion_covariance_type", "gamma_scheduler", "loss_reduction_type",
+            "diffusion_loss_type", "diffusion_activation", "diffusion_arch",
+            "sampling_timesteps", "ddim_sampling_eta",
+        )
+    })
+    import jax.numpy as jnp
+
+    N, L = skeleton.num_nodes, cfg["latent_size"]
+    target_params = denoiser.init(
+        jax.random.key(0), jnp.zeros((2, N, L)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, N, L)) if cfg.get("diffusion_conditioning", True) else None,
+    )
+    ckpt_dir = os.path.join(exp_dir, "checkpoints_diffusion")
+    if not os.path.isdir(ckpt_dir):
+        ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    ckpt = CheckpointManager(ckpt_dir)
+    # evaluate with EMA weights when present (reference samples with the EMA
+    # model, `src/core/trainer.py:304-307`)
+    if cfg.get("if_use_ema", True):
+        restored = ckpt.restore_partial({"ema": {"params": target_params}}, ckpt.best_path())
+        diff_params = restored["ema"]["params"]
+    else:
+        restored = ckpt.restore_partial({"params": target_params}, ckpt.best_path())
+        diff_params = restored["params"]
+    return SkeletonDiffusionPredictor(
+        skeleton, autoencoder, ae_params, diffusion, jax.tree.map(jax.numpy.asarray, diff_params),
+        num_samples=cfg.get("num_samples", 50),
+        pred_length=cfg["pred_length"],
+        diffusion_conditioning=cfg.get("diffusion_conditioning", True),
+    ), cfg
+
+
+def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config_dir = os.environ.get("SKELDIFF_CONFIG_DIR", "configs/config_eval")
+    cfg = flatten_config(load_config(config_dir, argv))
+
+    skeleton = build_skeleton(cfg)
+    dataset = build_dataset(
+        cfg, skeleton, cfg.get("dataset_split", "test"), "data_loader_test",
+        if_long_term_test=cfg.get("if_long_term_test", False),
+        long_term_factor=cfg.get("long_term_factor", 2.5),
+        if_compute_cmd=cfg.get("if_compute_cmd", False),
+        if_noisy_obs=cfg.get("if_noisy_obs", False),
+        noise_level=cfg.get("noise_level", 0.25),
+        noise_std=cfg.get("noise_std", 0.02),
+    )
+
+    method = cfg.get("method_name", "SkeletonDiffusion")
+    if method == "SkeletonDiffusion":
+        predictor, cfg = prepare_model(cfg, skeleton)
+    elif method == "ZeroVelocity":
+        predictor = ZeroVelocityPredictor(
+            skeleton, num_samples=cfg.get("num_samples", 50), pred_length=cfg["pred_length"]
+        )
+    else:
+        raise NotImplementedError(method)
+
+    timer = AverageTimer() if cfg.get("if_measure_time") else None
+    store = None
+    if cfg.get("if_store_output"):
+        store = ResultStorer(cfg["store_output_path"], store_gt=cfg.get("if_store_gt", False))
+
+    results = compute_metrics(
+        predictor, dataset, skeleton,
+        batch_size=cfg["batch_size"],
+        num_samples=cfg.get("num_samples", 50),
+        stats_mode=cfg.get("stats_mode", "deterministic"),
+        seed=cfg.get("seed", 0),
+        if_compute_cmd=cfg.get("if_compute_cmd", False),
+        if_compute_apde=cfg.get("if_compute_apde", False),
+        mmapd_gt_path=os.path.join(cfg["annotations_folder"], "mmapd_GT.csv")
+        if cfg.get("if_compute_apde") else None,
+        if_long_term_test=cfg.get("if_long_term_test", False),
+        long_term_factor=cfg.get("long_term_factor", 2.5),
+        pred_length=cfg.get("pred_length"),
+        store=store,
+        timer=timer,
+        ndebug=bool(int(os.environ.get("NDEBUG", "0"))),
+    )
+    print(draw_table(results))
+    if timer is not None:
+        print("timing:", timer.summary())
+    out_path = cfg.get("results_path") or os.path.join(
+        cfg.get("checkpoint_path") or ".", f"results_{cfg['dataset_name']}_{cfg.get('stats_mode')}.yaml"
+    )
+    try:
+        with open(out_path, "w") as f:
+            yaml.safe_dump({k: float(v) for k, v in results.items()}, f)
+    except OSError:
+        pass
+    return results
+
+
+if __name__ == "__main__":
+    main()

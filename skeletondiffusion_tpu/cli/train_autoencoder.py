@@ -1,0 +1,155 @@
+"""Stage-1 CLI: train the graph-recurrent AutoEncoder.
+
+    python train_autoencoder.py dataset=amass model.num_epochs=200 ...
+
+Reference entry point `train_autoencoder.py:26-143` (Hydra CLI + ignite
+Engine) re-built as a plain epoch loop over a jitted train step with Orbax
+checkpointing, JSONL logging and data-parallel sharding.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..data import DataLoader
+from ..metrics.multimodal import ade, fde, mpjpe
+from ..parallel import replicate, shard_batch
+from ..train.checkpoint import CheckpointManager, load_host_state, save_host_state
+from ..train.trainer_autoencoder import AutoEncoderTrainer
+from ..utils import MetricsLogger, flatten_config, load_config, save_config, set_seed
+from ..utils.reproducibility import epoch_key, iteration_key
+from .common import (
+    build_autoencoder,
+    build_dataset,
+    build_skeleton,
+    make_eval_preprocess,
+    make_train_preprocess,
+    setup_mesh,
+)
+
+
+def train(cfg: Dict) -> str:
+    """Returns the experiment output path."""
+    out_dir = cfg["output_log_path"]
+    os.makedirs(out_dir, exist_ok=True)
+    save_config(cfg, os.path.join(out_dir, "config.yaml"))
+    logger = MetricsLogger(out_dir)
+
+    root_key = set_seed(cfg["seed"])
+    skeleton = build_skeleton(cfg)
+    mesh = setup_mesh(cfg)
+
+    dataset = build_dataset(cfg, skeleton, "train", "data_loader_train", rng_seed=cfg["seed"])
+    loader = DataLoader(
+        dataset, cfg["batch_size"], shuffle=cfg["data_loader_train"].get("shuffle", True),
+        drop_last=cfg["data_loader_train"].get("drop_last", True), seed=cfg["seed"],
+    )
+    iter_per_epoch = cfg.get("num_iter_perepoch") or len(loader)
+    preprocess = make_train_preprocess(skeleton, cfg["data_loader_train"])
+
+    model = build_autoencoder(cfg, skeleton)
+    trainer = AutoEncoderTrainer(
+        model=model,
+        lr=cfg["lr"],
+        iter_per_epoch=iter_per_epoch,
+        prediction_horizon_train=cfg["prediction_horizon_train"],
+        prediction_horizon_eval=cfg["prediction_horizon_eval"],
+        curriculum_it=cfg.get("curriculum_it", 0),
+        use_lr_scheduler=cfg.get("use_lr_scheduler", False),
+        lr_scheduler_kwargs=cfg.get("lr_scheduler_kwargs"),
+        prediction_horizon_train_min=cfg.get("prediction_horizon_train_min", 10),
+        prediction_horizon_train_min_from_epoch=cfg.get("prediction_horizon_train_min_from_epoch", 200),
+        random_prediction_horizon=cfg.get("random_prediction_horizon", True),
+        loss_pose_type=cfg.get("loss_pose_type", "l1"),
+        seed=cfg["seed"],
+    )
+
+    # init from one example batch
+    ex = next(iter(loader))
+    k0 = jax.random.fold_in(root_key, 2**31)
+    ex_obs, ex_pred, _ = preprocess(k0, ex["obs"], ex["pred"])
+    state = trainer.init(jax.random.fold_in(root_key, 0), ex_obs, ex_pred)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"), n_saved=20)
+    start_epoch = 1
+    if cfg.get("if_resume_training"):
+        state = ckpt.restore(state, cfg.get("load_path") or None)
+        host = load_host_state(out_dir) or {}
+        start_epoch = host.get("epoch", 0) + 1
+        if trainer.lr_scheduler is not None and "lr_scheduler" in host:
+            trainer.lr_scheduler.load_state_dict(host["lr_scheduler"])
+
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    print(f"AutoEncoder parameters: {n_params:,}")
+
+    it_global = (start_epoch - 1) * iter_per_epoch
+    for epoch in range(start_epoch, cfg["num_epochs"] + 1):
+        trainer.epoch_started(epoch)
+        ek = epoch_key(root_key, epoch)
+        losses = []
+        for it, batch in enumerate(loader):
+            if it >= iter_per_epoch:
+                break
+            k = iteration_key(ek, it)
+            obs_t, pred_t, _ = preprocess(k, batch["obs"], batch["pred"])
+            if mesh is not None:
+                obs_t, pred_t = shard_batch(mesh, obs_t), shard_batch(mesh, pred_t)
+            state, loss, ph = trainer.train_step(
+                state, k, (obs_t, pred_t), epoch=epoch, iteration=it_global
+            )
+            losses.append(float(loss))
+            it_global += 1
+        logger.log(epoch, {"loss": float(np.mean(losses)),
+                           "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"],
+                           "ph": ph})
+
+        if epoch % cfg.get("save_frequency", 50) == 0 or epoch == cfg["num_epochs"]:
+            score = None
+            if cfg.get("if_run_validation"):
+                score = -validate(cfg, skeleton, trainer, state, logger, epoch)
+            ckpt.save(state, step=epoch, score=score)
+        ckpt.save_latest(state, step=epoch)
+        host = {"epoch": epoch}
+        if trainer.lr_scheduler is not None:
+            host["lr_scheduler"] = trainer.lr_scheduler.state_dict()
+        save_host_state(out_dir, host)
+    logger.close()
+    return out_dir
+
+
+def validate(cfg, skeleton, trainer, state, logger, epoch) -> float:
+    """ADE/FDE/MPJPE on the validation split (metric space, S=1); reference
+    `src/train_utils.py:56-96`."""
+    dataset = build_dataset(cfg, skeleton, "valid", "data_loader_valid")
+    loader = DataLoader(dataset, cfg["batch_size_eval"], shuffle=False)
+    preprocess = make_eval_preprocess(skeleton)
+    vals = {"ADE": [], "FDE": [], "MPJPE": []}
+    for batch in loader:
+        obs_t, pred_t, _ = preprocess(jax.random.key(0), batch["obs"], batch["pred"])
+        pred, y, x, z = trainer.validation_step(state, (obs_t, pred_t))
+        pred_m = skeleton.transform_to_metric_space(pred)[:, None]
+        y_m = skeleton.transform_to_metric_space(y)
+        vals["ADE"].append(np.asarray(ade(y_m, pred_m)))
+        vals["FDE"].append(np.asarray(fde(y_m, pred_m)))
+        vals["MPJPE"].append(np.asarray(mpjpe(y_m, pred_m)))
+    results = {k: float(np.concatenate(v).mean()) for k, v in vals.items()}
+    logger.log(epoch, results, prefix="valid")
+    print(f"[epoch {epoch}] valid:", results)
+    return results["MPJPE"]
+
+
+def main(argv: Optional[List[str]] = None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config_dir = os.environ.get("SKELDIFF_CONFIG_DIR", "configs/config_train_autoencoder")
+    cfg = flatten_config(load_config(config_dir, argv))
+    return train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Checkpoint/resume via Orbax: params, optimizer state, EMA, step counters,
+scheduler state and the RNG key — the TPU equivalent of the reference's
+ignite Checkpoint object set (`train_diffusion.py:100-112`,
+`src/core/trainer.py:168-179`).
+
+Retention mirrors the reference: a rolling window of the top-k checkpoints
+by validation score plus a rolling "latest" (`train_diffusion.py:100-104`:
+top-10 by −val ADE + latest; AE: top-20 by −MPJPE + periodic saves).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, n_saved: int = 10, score_name: str = "score"):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.n_saved = n_saved
+        self.score_name = score_name
+        self._ckpt = ocp.StandardCheckpointer()
+        self._index_path = os.path.join(self.directory, "index.json")
+        self._index: List[Dict] = []
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self._index = json.load(f)
+
+    # ---- save ---------------------------------------------------------------
+    def _write_index(self):
+        with open(self._index_path, "w") as f:
+            json.dump(self._index, f, indent=1)
+
+    def save(self, state: Any, step: int, score: Optional[float] = None, tag: str = "ckpt"):
+        """Save; keep best ``n_saved`` by score (higher is better — pass
+        −ADE etc.) plus the rolling latest."""
+        name = f"{tag}_{step}"
+        path = os.path.join(self.directory, name)
+        self._ckpt.save(path, state, force=True)
+        self._index.append({"name": name, "step": step, "score": score})
+        if score is not None:
+            scored = [e for e in self._index if e["score"] is not None]
+            scored.sort(key=lambda e: e["score"], reverse=True)
+            for e in scored[self.n_saved :]:
+                if e["step"] != step:
+                    self._remove(e)
+        self._write_index()
+
+    def save_latest(self, state: Any, step: int):
+        prev = [e for e in self._index if e["name"].startswith("latest")]
+        name = f"latest_{step}"
+        self._ckpt.save(os.path.join(self.directory, name), state, force=True)
+        self._index.append({"name": name, "step": step, "score": None})
+        for e in prev:
+            self._remove(e)
+        self._write_index()
+
+    def _remove(self, entry: Dict):
+        import shutil
+
+        path = os.path.join(self.directory, entry["name"])
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+        self._index = [e for e in self._index if e["name"] != entry["name"]]
+
+    # ---- load -------------------------------------------------------------
+    def latest_path(self) -> Optional[str]:
+        if not self._index:
+            return None
+        entry = max(self._index, key=lambda e: e["step"])
+        return os.path.join(self.directory, entry["name"])
+
+    def best_path(self) -> Optional[str]:
+        scored = [e for e in self._index if e["score"] is not None]
+        if not scored:
+            return self.latest_path()
+        entry = max(scored, key=lambda e: e["score"])
+        return os.path.join(self.directory, entry["name"])
+
+    def restore(self, target: Any, path: Optional[str] = None) -> Any:
+        path = path or self.latest_path()
+        assert path is not None, "no checkpoint to restore"
+        return self._ckpt.restore(path, target)
+
+    def restore_partial(self, target: Any, path: Optional[str] = None) -> Any:
+        """Restore only the subtree present in ``target`` (e.g. params-only
+        for the frozen-AE load, ignoring stored optimizer state)."""
+        path = path or self.latest_path()
+        assert path is not None, "no checkpoint to restore"
+        import jax
+
+        restore_args = jax.tree.map(
+            lambda x: ocp.type_handlers.ArrayRestoreArgs(), target
+        )
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(
+                path,
+                args=ocp.args.PyTreeRestore(
+                    item=target, restore_args=restore_args, partial_restore=True
+                ),
+            )
+
+
+def save_host_state(directory: str, state: Dict):
+    """Small host-side state (lr scheduler, curriculum rng, epoch) as json."""
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "host_state.json"), "w") as f:
+        json.dump(state, f)
+
+
+def load_host_state(directory: str) -> Optional[Dict]:
+    path = os.path.join(directory, "host_state.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,89 @@
+"""Training observability: JSONL metrics log (always) + optional
+TensorBoard — functional replacement for the reference's ignite
+TensorboardLogger handlers (`src/utils/tensorboard.py:8-122`: per-iteration
+loss/lr, weight/grad norms every 100 iterations, validation metric groups).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str, log_every: int = 1, norms_every: int = 100):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._fh = open(self.path, "a")
+        self.log_every = log_every
+        self.norms_every = norms_every
+        self._tb = None
+        try:  # optional: tensorboardX / tf not shipped in this image
+            from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+            self._tb = SummaryWriter(log_dir)
+        except Exception:
+            self._tb = None
+
+    def log(self, step: int, values: Dict[str, Any], prefix: str = "train"):
+        rec = {"step": step, "time": time.time(), "prefix": prefix}
+        rec.update({k: float(v) for k, v in values.items()})
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+        if self._tb is not None:
+            for k, v in values.items():
+                self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
+
+    def log_param_norms(self, step: int, params, grads=None):
+        """Per-tree global norms (the reference logs per-weight scalars every
+        100 iterations, `tensorboard.py:58-96`; a global norm captures the
+        same signal at a fraction of the host cost)."""
+        if step % self.norms_every != 0:
+            return
+        pnorm = float(
+            np.sqrt(sum(float((np.asarray(p, dtype=np.float64) ** 2).sum()) for p in jax.tree.leaves(params)))
+        )
+        vals = {"param_global_norm": pnorm}
+        if grads is not None:
+            gnorm = float(
+                np.sqrt(sum(float((np.asarray(g, dtype=np.float64) ** 2).sum()) for g in jax.tree.leaves(grads)))
+            )
+            vals["grad_global_norm"] = gnorm
+        self.log(step, vals, prefix="norms")
+
+    def close(self):
+        self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class AverageTimer:
+    """Per-batch wall-clock stats behind ``if_measure_time``; reference
+    `src/utils/time.py:5-20`."""
+
+    def __init__(self):
+        self.times = []
+        self._t0: Optional[float] = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self):
+        assert self._t0 is not None
+        self.times.append(time.perf_counter() - self._t0)
+        self._t0 = None
+
+    def summary(self) -> Dict[str, float]:
+        arr = np.asarray(self.times)
+        if arr.size == 0:
+            return {}
+        return {
+            "mean_ms": float(arr.mean() * 1e3),
+            "p50_ms": float(np.percentile(arr, 50) * 1e3),
+            "p90_ms": float(np.percentile(arr, 90) * 1e3),
+            "n": int(arr.size),
+        }

@@ -1,0 +1,37 @@
+"""Prediction storer: append-only on-disk dump of 50-sample predictions /
+GT / observations + metadata yaml — reference `src/utils/store.py:7-57`
+(zarr upstream; npz shards here, zarr not shipped in this image).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import yaml
+
+
+class ResultStorer:
+    def __init__(self, out_dir: str, store_gt: bool = False):
+        self.out_dir = out_dir
+        self.store_gt = store_gt
+        os.makedirs(out_dir, exist_ok=True)
+        self._shard = 0
+
+    def append(self, pred: np.ndarray, obs: Optional[np.ndarray] = None,
+               target: Optional[np.ndarray] = None, metadata=None):
+        path = os.path.join(self.out_dir, f"shard_{self._shard:05d}.npz")
+        arrays = {"pred": np.asarray(pred)}
+        if obs is not None:
+            arrays["obs"] = np.asarray(obs)
+        if self.store_gt and target is not None:
+            arrays["target"] = np.asarray(target)
+        np.savez_compressed(path, **arrays)
+        if metadata is not None:
+            with open(os.path.join(self.out_dir, f"shard_{self._shard:05d}.yaml"), "w") as f:
+                yaml.safe_dump(metadata, f)
+        self._shard += 1
+
+    def finalize(self, config: Dict):
+        with open(os.path.join(self.out_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(config, f)

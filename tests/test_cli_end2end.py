@@ -1,0 +1,103 @@
+"""Full CLI integration: stage-1 training → stage-2 training → eval, on a
+synthetic AMASS-format dataset with tiny shapes (milestone D plumbing)."""
+import os
+
+import numpy as np
+import pytest
+
+OBS_SEC, PRED_SEC = 0.1, 0.2  # fps 60 → obs 6, pred 12
+J = 22
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    pre = root / "datasets" / "processed" / "AMASS" / "hmp"
+    ann = root / "datasets" / "annotations" / "AMASS" / "hmp"
+    pre.mkdir(parents=True)
+    ann.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    positions = {}
+    for ds in ("ACCAD", "CMU", "DFaust"):
+        positions[ds] = {
+            fi: rng.standard_normal((70, J, 3)).astype(np.float32) * 0.3 for fi in range(2)
+        }
+    np.savez(pre / "data_3d_amass.npz", positions_3d=positions)
+    import pandas as pd
+
+    rows = [
+        {"dataset": "DFaust", "file": f"f{fi}", "file_idx": fi, "pred_init": init,
+         "pred_end": init + 12 - 1}
+        for fi in range(2)
+        for init in range(6, 70 - 12, 11)
+    ]
+    pd.DataFrame(rows).to_csv(ann / "segments_test.csv", index=False)
+    n_seg = len(rows)
+    pd.DataFrame([{"id": i, "gt_APD": 1.0} for i in range(n_seg)]).to_csv(
+        ann / "mmapd_GT.csv", index=False
+    )
+    return str(root)
+
+
+def test_two_stage_training_and_eval(data_root, monkeypatch):
+    from skeletondiffusion_tpu.cli.eval import main as eval_main
+    from skeletondiffusion_tpu.cli.train_autoencoder import main as train_ae_main
+    from skeletondiffusion_tpu.cli.train_diffusion import main as train_diff_main
+
+    monkeypatch.chdir("/root/repo")
+    common = [
+        f"dataset_main_path={data_root}/datasets",
+        "task.history_sec=0.1",
+        "task.prediction_horizon_sec=0.2",
+        "device_mesh.n_devices=1",  # batch 4 not divisible by the 8 test devices
+    ]
+    ae_out = os.path.join(data_root, "out_ae")
+    ae_dir = train_ae_main(common + [
+        "dataset=amass",
+        f"output_log_path={ae_out}",
+        "model.num_epochs=2",
+        "model.batch_size=4",
+        "model.num_iter_perepoch=3",
+        "model.latent_size=8",
+        "model.autoenc_arch.encoder_hidden_size=8",
+        "model.autoenc_arch.decoder_hidden_size=8",
+        "model.curriculum_it=1",
+        "model.save_frequency=2",
+        "dataset.data_loader_train.datasets=[ACCAD, CMU]",
+        "dataset.data_loader_train.stride=4",
+        "dataset.data_loader_train.augmentation=2",
+    ])
+    assert os.path.exists(os.path.join(ae_dir, "config.yaml"))
+    assert os.path.exists(os.path.join(ae_dir, "checkpoints", "index.json"))
+
+    diff_out = os.path.join(data_root, "out_diff")
+    diff_dir = train_diff_main(common + [
+        f"output_log_path={diff_out}",
+        f"model.pretrained_autoencoder_path={ae_dir}/checkpoints",
+        "model.num_epochs=1",
+        "model.batch_size=4",
+        "model.num_iter_perepoch=3",
+        "model.train_pick_best_sample_among_k=2",
+        "model.diffusion_timesteps=4",
+        "model.diffusion_arch.depth=1",
+        "model.diffusion_arch.attn_heads=2",
+        "model.diffusion_arch.attn_dim_head=4",
+        "dataset.data_loader_train.datasets=[ACCAD, CMU]",
+        "dataset.data_loader_train.stride=4",
+        "dataset.data_loader_train.augmentation=2",
+    ])
+    assert os.path.exists(os.path.join(diff_dir, "checkpoints", "index.json"))
+
+    results = eval_main(common + [
+        "dataset=amass",
+        f"checkpoint_path={diff_dir}",
+        "stats_mode=deterministic",
+        "batch_size=8",
+        "num_samples=2",
+        "if_compute_cmd=True",
+        "if_compute_apde=True",
+        f"results_path={data_root}/results.yaml",
+    ])
+    for key in ("ADE", "FDE", "APD", "CMD", "APDE"):
+        assert key in results and np.isfinite(results[key]), results
+    assert os.path.exists(os.path.join(data_root, "results.yaml"))
