@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""North-star benchmark: 50-sample motion predictions/sec/chip on the AMASS
+configuration (BASELINE.md): batch 256 observations × 50 sampled 2 s futures
+each, full pipeline (past-embed GRU → 10-step nonisotropic diffusion →
+120-step decode → metric space) as ONE compiled XLA program.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference evaluates the 12,726-segment AMASS test split in
+~12 min on an RTX6000 (README.md:223) ≈ 17.7 predictions/sec.
+"""
+import json
+import os
+import time
+
+# persistent compile cache (first compile through the TPU tunnel is slow)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_skeldiff_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_PREDS_PER_SEC = 12726 / (12 * 60)  # ≈ 17.7
+
+BATCH = int(os.environ.get("BENCH_BATCH", 256))
+NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 50))
+OBS_LEN, PRED_LEN, LATENT = 30, 120, 96
+REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
+
+
+def build():
+    from skeletondiffusion_tpu.diffusion.manager import create_diffusion
+    from skeletondiffusion_tpu.eval_pipeline import SkeletonDiffusionPredictor
+    from skeletondiffusion_tpu.models import AutoEncoder
+    from skeletondiffusion_tpu.skeleton import create_skeleton
+
+    skeleton = create_skeleton(
+        dataset_name="amass", motion_repr_type="SkeletonRescalePose", num_joints=22,
+        pose_box_size=1.5, obs_length=OBS_LEN, pred_length=PRED_LEN, if_consider_hip=False,
+    )
+    N = skeleton.num_nodes
+    ae = AutoEncoder(
+        num_nodes=N, encoder_hidden_size=96, decoder_hidden_size=96, latent_size=LATENT,
+        node_types=skeleton.nodes_type_id,
+    )
+    ae_params = ae.init(
+        jax.random.key(0), jnp.zeros((1, PRED_LEN, N, 3)), jnp.zeros((1, OBS_LEN, N, 3)),
+        ph=PRED_LEN, method=AutoEncoder.autoencode,
+    )
+    diffusion, denoiser = create_diffusion(
+        skeleton, diffusion_type="NonisotropicGaussianDiffusion",
+        covariance_matrix_type="adjacency", latent_size=LATENT,
+        diffusion_conditioning=True, diffusion_timesteps=10,
+        diffusion_arch={"depth": 4, "attn_heads": 8, "attn_dim_head": 32,
+                        "use_attention": True, "learn_influence": True,
+                        "self_condition": False, "norm_type": "none"},
+    )
+    dparams = denoiser.init(
+        jax.random.key(1), jnp.zeros((1, N, LATENT)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, N, LATENT)),
+    )
+    predictor = SkeletonDiffusionPredictor(
+        skeleton, ae, ae_params, diffusion, dparams,
+        num_samples=NUM_SAMPLES, pred_length=PRED_LEN,
+    )
+
+    # full user-facing program: input-space obs → metric-space predictions
+    def full(ae_params, diff_params, rng, obs):
+        pred, _ = predictor._predict(
+            ae_params, diff_params, rng, obs, num_samples=NUM_SAMPLES, pred_length=PRED_LEN
+        )
+        return skeleton.transform_to_metric_space(pred)
+
+    return skeleton, predictor, jax.jit(full)
+
+
+def main():
+    skeleton, predictor, full = build()
+    N = skeleton.num_nodes
+    rng = jax.random.key(42)
+    obs = jax.random.normal(jax.random.key(7), (BATCH, OBS_LEN, N, 3), jnp.float32) * 0.3
+
+    # compile + warmup
+    out = full(predictor.ae_params, predictor.diff_params, rng, obs)
+    jax.block_until_ready(out)
+
+    times = []
+    for i in range(REPEATS):
+        k = jax.random.fold_in(rng, i)
+        t0 = time.perf_counter()
+        out = full(predictor.ae_params, predictor.diff_params, k, obs)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    p50 = float(np.percentile(times, 50))
+    preds_per_sec = BATCH / p50
+    print(
+        json.dumps(
+            {
+                "metric": "amass_50sample_predictions_per_sec_per_chip",
+                "value": round(preds_per_sec, 2),
+                "unit": "predictions/s (batch 256 obs x 50 samples, p50)",
+                "vs_baseline": round(preds_per_sec / REFERENCE_PREDS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

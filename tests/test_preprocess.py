@@ -1,0 +1,87 @@
+"""Preprocessing subsystem tests: SMPL-H FK math + FreeMan keypoint
+conversion, on synthetic model data."""
+import numpy as np
+import pytest
+
+from skeletondiffusion_tpu.data.preprocess.freeman import preprocess_kpts
+from skeletondiffusion_tpu.data.preprocess.smplh import SMPLHJoints, rodrigues
+
+
+def test_rodrigues_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation as R
+
+    aa = rng.standard_normal((10, 3))
+    ours = rodrigues(aa)
+    ref = R.from_rotvec(aa).as_matrix()
+    np.testing.assert_allclose(ours, ref, atol=1e-10)
+    # zero rotation → identity
+    np.testing.assert_allclose(rodrigues(np.zeros((1, 3)))[0], np.eye(3), atol=1e-9)
+
+
+def _toy_model(rng, J=5, V=30, B=4):
+    kintree = np.zeros((2, J), dtype=np.int64)
+    kintree[0] = [0, 0, 1, 2, 2]  # chain-ish tree; entry 0 overwritten to -1
+    return {
+        "v_template": rng.standard_normal((V, 3)),
+        "shapedirs": rng.standard_normal((V, 3, B)) * 0.01,
+        "J_regressor": np.abs(rng.standard_normal((J, V))) / V,
+        "kintree_table": kintree,
+    }
+
+
+def test_fk_identity_pose_is_rest(rng):
+    model = SMPLHJoints(_toy_model(rng))
+    betas = rng.standard_normal(4)
+    rest = model.rest_joints(betas)
+    poses = np.zeros((3, model.num_joints * 3))
+    joints = model.forward(poses, betas)
+    np.testing.assert_allclose(joints, np.broadcast_to(rest, joints.shape), atol=1e-9)
+
+
+def test_fk_global_rotation_is_rigid(rng):
+    """Root-only rotation must rigidly rotate the whole skeleton about the
+    root joint."""
+    from scipy.spatial.transform import Rotation as R
+
+    model = SMPLHJoints(_toy_model(rng))
+    betas = np.zeros(4)
+    rest = model.rest_joints(betas)
+    aa = np.array([0.3, -0.2, 0.5])
+    poses = np.zeros((1, model.num_joints * 3))
+    poses[0, :3] = aa
+    joints = model.forward(poses, betas)[0]
+    expected = (R.from_rotvec(aa).as_matrix() @ (rest - rest[0]).T).T + rest[0]
+    np.testing.assert_allclose(joints, expected, atol=1e-8)
+    # bone lengths invariant under any pose
+    poses = rng.standard_normal((1, model.num_joints * 3)) * 0.5
+    joints = model.forward(poses, betas)[0]
+    for j in range(1, model.num_joints):
+        p = model.parents[j]
+        np.testing.assert_allclose(
+            np.linalg.norm(joints[j] - joints[p]),
+            np.linalg.norm(rest[j] - rest[p]), atol=1e-8,
+        )
+
+
+def test_fk_translation_and_hand_padding(rng):
+    model = SMPLHJoints(_toy_model(rng))
+    betas = np.zeros(4)
+    trans = rng.standard_normal((2, 3))
+    # body-only pose vector (fewer than J joints) → identity-padded
+    poses = np.zeros((2, (model.num_joints - 2) * 3))
+    joints = model.forward(poses, betas, trans=trans)
+    rest = model.rest_joints(betas)
+    np.testing.assert_allclose(joints, rest[None] + trans[:, None], atol=1e-9)
+
+
+def test_freeman_kpts_conversion(rng):
+    pos = rng.standard_normal((7, 17, 3)) * 100
+    out = preprocess_kpts(pos.copy())
+    assert out.shape == (7, 18, 3)
+    # root = midpoint of original LHip(11)/RHip(12), in meters with z flipped
+    mid = (pos[:, 11] + pos[:, 12]) / 2 / 100
+    mid[:, 2] *= -1
+    np.testing.assert_allclose(out[:, 0], mid, atol=1e-9)
+    nose = pos[:, 0] / 100
+    nose[:, 2] *= -1
+    np.testing.assert_allclose(out[:, 7], nose, atol=1e-9)
