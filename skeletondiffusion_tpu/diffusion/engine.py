@@ -173,11 +173,20 @@ class GaussianDiffusion:
 
         def step(carry, t):
             img, = carry
+            # per-batch t only for the model's time embedding; the process
+            # coefficient lookups use the SCALAR t (one [N,N] table slice
+            # instead of a gathered [B,N,N] batch of identical matrices)
             tb = jnp.full((batch,), t, dtype=jnp.int32)
-            _, x_start = self.model_predictions(params, img, tb, x_cond)
+            model_output = self.feed_model(params, img, tb, x_cond)
+            if self.objective == "pred_x0":
+                x_start = model_output
+            elif self.objective == "pred_noise":
+                x_start = self.process.predict_start_from_noise(img, t, model_output)
+            else:  # pred_v
+                x_start = self.process.predict_start_from_v(img, t, model_output)
             if self.clip_denoised:
                 x_start = jnp.clip(x_start, -1.0, 1.0)
-            mean, _, log_var = self.process.q_posterior(x_start, img, tb)
+            mean, _, log_var = self.process.q_posterior(x_start, img, t)
             noise = jax.random.normal(jax.random.fold_in(rng_steps, t), shape, dtype=img.dtype)
             noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
             img = self.process.combine_mean_var_noise(mean, log_var, noise)

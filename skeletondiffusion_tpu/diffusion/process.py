@@ -35,15 +35,19 @@ Array = jnp.ndarray
 
 def extract(a: Array, t: Array, ndim: int) -> Array:
     """Gather per-timestep scalars and broadcast to an ``ndim`` tensor;
-    reference `base.py:34-37`."""
+    reference `base.py:34-37`.  A SCALAR ``t`` (the sampling scan variable,
+    shared across the batch) returns a plain scalar — no per-item gather."""
+    t = jnp.asarray(t)
     out = a[t]
+    if t.ndim == 0:
+        return out
     return out.reshape(out.shape[0], *([1] * (ndim - 1)))
 
 
 def extract_matrix(m: Array, t: Array) -> Array:
     """Gather per-timestep [N,N] (or [N]) tables; reference
-    `nonisotropic.py:5-12`."""
-    return m[t]
+    `nonisotropic.py:5-12`.  Scalar ``t`` → single [N,N]/[N] slice."""
+    return m[jnp.asarray(t)]
 
 
 def _f32(x: np.ndarray) -> jnp.ndarray:
@@ -164,13 +168,16 @@ class NonisotropicProcess:
 
     # ---- helpers -------------------------------------------------------------
     def _matmul(self, table: Array, t: Array, x: Array) -> Array:
-        """(table[t] @ x) batched: [B,N,N]·[B,N,D]→[B,N,D] — a batched small
-        matmul XLA maps straight onto the MXU.  Precision is pinned to
-        HIGHEST: these covariance mixes are tiny (N≤51) but parity-critical,
-        and the TPU's default bf16 matmul passes would inject ~1e-2 error."""
-        return jnp.einsum(
-            "bij,bjd->bid", extract_matrix(table, t), x, precision=jax.lax.Precision.HIGHEST
-        )
+        """(table[t] @ x): [B,N,N]·[B,N,D]→[B,N,D] for per-item t, or a
+        single dense [N,N]·[B,N,D] matmul when t is a scalar (the sampling
+        scan shares one t across the batch — no gathered matrices).
+        Precision is pinned to HIGHEST: these covariance mixes are tiny
+        (N≤51) but parity-critical, and the TPU's default bf16 matmul passes
+        would inject ~1e-2 error."""
+        mat = extract_matrix(table, t)
+        if mat.ndim == 2:
+            return jnp.einsum("ij,bjd->bid", mat, x, precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("bij,bjd->bid", mat, x, precision=jax.lax.Precision.HIGHEST)
 
     def check_eigh(self) -> Array:
         """U Λ_N Uᵀ ≈ Σ_N; reference `nonisotropic.py:139-140`."""

@@ -1,12 +1,14 @@
 """Graph-recurrent motion AutoEncoder: pose sequence [B,T,N,3] ⇄ per-joint
 latent [B,N,latent].
 
-Mirrors reference `src/core/network/nn/{encoder,decoder,autoencoder}.py` with
-TPU-native loops: the encoder runs its graph-GRU over T observed frames as
-one ``nn.scan``; the decoder's autoregressive-in-hidden-state rollout
-(constant input [x_{T-1}, z], evolving hidden + influence matrix,
-`decoder.py:85-104`) is one ``nn.scan`` of the GRU cell over ``ph`` steps
-with the output head applied to all steps in a single batched matmul.
+Mirrors reference `src/core/network/nn/{encoder,decoder,autoencoder}.py`
+with TPU-native loops and layout: the encoder runs its graph-GRU over T
+observed frames as one ``nn.scan`` in time-major node-major layout [T,N,B,F]
+(zero per-step transposes, see ``ops.graph_linear.gmm_nm``); the decoder's
+autoregressive-in-hidden-state rollout (constant input [x_{T-1}, z],
+evolving hidden + influence matrix, `decoder.py:85-104`) is one ``nn.scan``
+whose step applies the output head INSIDE the scan — only the [T,N,B,3]
+outputs are materialized, never the [T,N,B,H] hidden states.
 """
 from __future__ import annotations
 
@@ -48,43 +50,70 @@ class Encoder(nn.Module):
         hidden feeds the latent head — because the GRU is causal, reading
         step ``ph-1`` of a full-length scan equals encoding the truncated
         sequence ``x[:, :ph]``.  This lets the curriculum's dynamic horizon
-        (`src/core/trainer.py:84-87`) live inside ONE compiled program
-        instead of recompiling per ph."""
+        (`src/core/trainer.py:84-87`) live inside ONE compiled program."""
         rnn_cls = {"StaticGraphGRU": StaticGraphGRU, "StaticGraphLSTM": StaticGraphLSTM}[
             self.recurrent_arch
         ]
+        x_nm = jnp.transpose(x, (1, 2, 0, 3))  # [B,T,N,F] → [T,N,B,F]
         rnn = rnn_cls(
             input_size=self.input_size, hidden_size=self.hidden_size,
             num_nodes=self.num_nodes, num_layers=self.enc_num_layers,
-            node_types=self.node_types, learn_influence=True, use_bias=True, name="rnn",
+            node_types=self.node_types, learn_influence=True, use_bias=True,
+            node_major=True, name="rnn",
         )
         h0 = StaticGraphLinear(
             self.input_size, self.hidden_size, num_nodes=self.num_nodes,
-            node_types=self.node_types, learn_influence=True, name="initial_hidden1",
-        )(x[:, 0])
+            node_types=self.node_types, learn_influence=True, node_major=True,
+            name="initial_hidden1",
+        )(x_nm[0])
         if self.recurrent_arch == "StaticGraphLSTM":
             c0 = StaticGraphLinear(
                 self.input_size, self.hidden_size, num_nodes=self.num_nodes,
-                node_types=self.node_types, learn_influence=True, name="initial_hidden_c",
-            )(x[:, 0])
+                node_types=self.node_types, learn_influence=True, node_major=True,
+                name="initial_hidden_c",
+            )(x_nm[0])
             states = [(h0, c0, None)] * self.enc_num_layers
         else:
             states = [(h0, None)] * self.enc_num_layers
 
-        y, state = rnn(x, states)
+        y, state = rnn(x_nm, states)  # [T,N,B,H]
         if last_index is None:
-            y_last = y[:, -1]
+            y_last = y[-1]
         else:
-            y_last = jnp.take_along_axis(
-                y, jnp.asarray(last_index).reshape(1, 1, 1, 1).astype(jnp.int32), axis=1
-            )[:, 0]
+            y_last = jnp.take(y, jnp.asarray(last_index).astype(jnp.int32), axis=0)
         h = StaticGraphLinear(
             self.hidden_size, self.output_size, num_nodes=self.num_nodes,
-            node_types=self.node_types, learn_influence=True, name="fc",
+            node_types=self.node_types, learn_influence=True, node_major=True, name="fc",
         )(y_last)
         if self.encoder_act == "tanh":
             h = jnp.tanh(h)
-        return h, state
+        return jnp.swapaxes(h, 0, 1), state  # [B,N,latent]
+
+
+class _RolloutStep(nn.Module):
+    """One decoder step: graph-RNN cell + tanh(graph-linear) output head —
+    scanned over the prediction horizon with a broadcast (constant) input."""
+
+    cell_cls: type
+    input_size: int
+    hidden_size: int
+    output_size: int
+    num_nodes: int
+    node_types: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, carry, x: Array):
+        carry, h = self.cell_cls(
+            input_size=self.input_size, hidden_size=self.hidden_size,
+            num_nodes=self.num_nodes, node_types=self.node_types,
+            learn_influence=True, learn_additive_graph_influence=True,
+            node_major=True, name="cell",
+        )(carry, x)
+        y = StaticGraphLinear(
+            self.hidden_size, self.output_size, num_nodes=self.num_nodes,
+            node_types=self.node_types, learn_influence=True, node_major=True, name="fc",
+        )(h)
+        return carry, jnp.tanh(y)
 
 
 class Decoder(nn.Module):
@@ -113,54 +142,49 @@ class Decoder(nn.Module):
         }[self.recurrent_arch_decoder]
         is_lstm = cell_cls is StaticGraphLSTMCell
 
-        x_t = x[:, -1]
-        x_t_1 = x[:, -2]
-        h0_in = jnp.concatenate([x_t_1, z], axis=-1)
+        # node-major seeds: [B,N,F] → [N,B,F]
+        x_t = jnp.swapaxes(x[:, -1], 0, 1)
+        x_t_1 = jnp.swapaxes(x[:, -2], 0, 1)
+        z_nm = jnp.swapaxes(z, 0, 1)
+        h0_in = jnp.concatenate([x_t_1, z_nm], axis=-1)
         h0 = StaticGraphLinear(
             self.feature_size + self.input_size, self.hidden_size, num_nodes=self.num_nodes,
-            node_types=self.node_types, learn_influence=True, name="initial_hidden_h",
+            node_types=self.node_types, learn_influence=True, node_major=True,
+            name="initial_hidden_h",
         )(h0_in)
         G = self.param("G0", lambda key: jnp.eye(self.num_nodes, dtype=jnp.float32))
         g0 = l1_normalize_rows(G)
         if is_lstm:
             c0 = StaticGraphLinear(
                 self.feature_size + self.input_size, self.hidden_size, num_nodes=self.num_nodes,
-                node_types=self.node_types, learn_influence=True, name="initial_hidden_c",
+                node_types=self.node_types, learn_influence=True, node_major=True,
+                name="initial_hidden_c",
             )(h0_in)
             carry = (h0, c0, g0)
         else:
             carry = (h0, g0)
 
-        rec_input = jnp.concatenate([x_t, z], axis=-1)  # constant every step
+        rec_input = jnp.concatenate([x_t, z_nm], axis=-1)  # constant every step
 
-        scan_cell = nn.scan(
-            cell_cls,
+        scan_step = nn.scan(
+            _RolloutStep,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=nn.broadcast,
-            out_axes=1,
+            out_axes=0,
             length=ph,
         )(
+            cell_cls=cell_cls,
             input_size=self.feature_size + self.input_size,
             hidden_size=self.hidden_size,
+            output_size=self.output_size,
             num_nodes=self.num_nodes,
             node_types=self.node_types,
-            learn_influence=True,
-            learn_additive_graph_influence=True,
-            name="cell",
+            name="rollout",
         )
-        _, hs = scan_cell(carry, rec_input)  # [B, ph, N, H]
-
-        # output head applied to every step at once: one [B·ph·N] batched
-        # matmul instead of ph tiny launches (reference applies fc per step,
-        # `decoder.py:97-100` — algebraically identical, MXU-friendlier)
-        B = hs.shape[0]
-        y = StaticGraphLinear(
-            self.hidden_size, self.output_size, num_nodes=self.num_nodes,
-            node_types=self.node_types, learn_influence=True, name="fc",
-        )(hs.reshape(B * ph, self.num_nodes, self.hidden_size))
-        y = jnp.tanh(y).reshape(B, ph, self.num_nodes, self.output_size)
-        return y, x_t
+        _, ys = scan_step(carry, rec_input)           # [ph,N,B,3]
+        out = jnp.transpose(ys, (2, 0, 1, 3))          # [B,ph,N,3]
+        return out, jnp.swapaxes(x_t, 0, 1)
 
 
 class AutoEncoder(nn.Module):

@@ -43,6 +43,9 @@ class Denoiser(nn.Module):
     use_attention: bool = True
     self_condition: bool = False
     sinusoidal_pos_emb_theta: float = 10000.0
+    # internal activations run node-major [N,B,F] — one transpose at entry
+    # and exit instead of layout churn at every layer (see ops.graph_linear)
+    node_major: bool = True
 
     @nn.compact
     def __call__(self, x: Array, time: Array, x_cond: Optional[Array] = None) -> Array:
@@ -51,7 +54,8 @@ class Denoiser(nn.Module):
         input_dim = self.dim * (2 if self.self_condition else 1) + self.cond_dim
         time_dim = diffusion_size * 4
         common = dict(
-            num_nodes=num_nodes, node_types=self.node_types, learn_influence=self.learn_influence
+            num_nodes=num_nodes, node_types=self.node_types,
+            learn_influence=self.learn_influence, node_major=self.node_major,
         )
 
         if self.self_condition:
@@ -59,6 +63,8 @@ class Denoiser(nn.Module):
             x = jnp.concatenate([jnp.zeros_like(x), x], axis=-1)
         if x_cond is not None:
             x = jnp.concatenate([x_cond, x], axis=-1)
+        if self.node_major:
+            x = jnp.swapaxes(x, 0, 1)  # [B,N,F] → [N,B,F]
 
         x = StaticGraphLinear(input_dim, diffusion_size, name="init_lin", **common)(x)
         r = x
@@ -78,14 +84,15 @@ class Denoiser(nn.Module):
             x = ResnetBlock(
                 diffusion_size, diffusion_size, num_nodes=num_nodes, time_emb_dim=time_dim,
                 node_types=self.node_types, learn_influence=self.learn_influence,
-                name=f"res{i}",
+                node_major=self.node_major, name=f"res{i}",
             )(x, t)
             if i != n_pairs - 1:
                 if self.use_attention:
                     x = PreNormAttentionResidual(
                         diffusion_size, num_nodes=num_nodes, heads=self.attn_heads,
                         dim_head=self.attn_dim_head, node_types=self.node_types,
-                        learn_influence=self.learn_influence, name=f"attn{i}",
+                        learn_influence=self.learn_influence,
+                        node_major=self.node_major, name=f"attn{i}",
                     )(x)
                 else:
                     from ..ops.attention import RMSNorm
@@ -100,6 +107,9 @@ class Denoiser(nn.Module):
         x = ResnetBlock(
             diffusion_size * 2, diffusion_size, num_nodes=num_nodes, time_emb_dim=time_dim,
             node_types=self.node_types, learn_influence=self.learn_influence,
-            name="final_res_block",
+            node_major=self.node_major, name="final_res_block",
         )(x, t)
-        return StaticGraphLinear(diffusion_size, self.out_dim, name="final_glin", **common)(x)
+        x = StaticGraphLinear(diffusion_size, self.out_dim, name="final_glin", **common)(x)
+        if self.node_major:
+            x = jnp.swapaxes(x, 0, 1)  # [N,B,F] → [B,N,F]
+        return x

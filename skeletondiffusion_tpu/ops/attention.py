@@ -4,9 +4,13 @@ building blocks.
 Mirrors reference `src/core/network/layers/attention.py`: attention similarity
 is computed ACROSS SKELETON NODES (einsum 'bhcn,bhcj->bhnj' — queries/keys are
 per-node feature columns, `attention.py:122-136`), with graph-linear qkv/out
-projections.  With N ≤ 51 nodes the whole attention fits in VMEM; XLA fuses
-the softmax chain, so the win on TPU is batching, not sharding (SURVEY.md §5
-long-context note).
+projections.
+
+TPU layout design: all modules support ``node_major`` activations [N,B,F]
+(see ``graph_linear.gmm_nm``), and the attention einsums keep heads/channels
+in TRAILING axes — the reference's 'b n (h c) -> b h c n' rearrange forces
+XLA to materialize [B, H·C, N]-layout copies of the 0.8 GB qkv tensors
+(measured: 42 such transposes per denoiser forward before this change).
 """
 from __future__ import annotations
 
@@ -25,7 +29,8 @@ Array = jnp.ndarray
 
 class RMSNorm(nn.Module):
     """x/‖x‖₂ · g · √dim over the last axis; reference `attention.py:30-36`
-    (torch F.normalize semantics: ε=1e-12 clamp on the norm)."""
+    (torch F.normalize semantics: ε=1e-12 clamp on the norm).  Layout
+    agnostic (normalizes the trailing feature axis)."""
 
     dim: int
 
@@ -33,7 +38,7 @@ class RMSNorm(nn.Module):
     def __call__(self, x: Array) -> Array:
         g = self.param("g", nn.initializers.ones, (1, 1, self.dim))
         norm = jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None)
-        return x / norm * g * (self.dim**0.5)
+        return x / norm * g.reshape(1, 1, self.dim) * (self.dim**0.5)
 
 
 class Attention(nn.Module):
@@ -48,31 +53,44 @@ class Attention(nn.Module):
     node_types: Optional[np.ndarray] = None
     learn_influence: bool = False
     qkv_bias: bool = False
+    node_major: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        b, n, c = x.shape
         hidden = self.dim_head * self.heads
         dim_out = self.dim_out if self.dim_out is not None else self.dim
 
         qkv = StaticGraphLinear(
             self.dim, hidden * 3, num_nodes=self.num_nodes, node_types=self.node_types,
-            learn_influence=self.learn_influence, use_bias=self.qkv_bias, name="to_qkv",
+            learn_influence=self.learn_influence, use_bias=self.qkv_bias,
+            node_major=self.node_major, name="to_qkv",
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        # 'b n (h c) -> b h c n'
-        reshape = lambda t: jnp.transpose(t.reshape(b, n, self.heads, self.dim_head), (0, 2, 3, 1))
-        q, k, v = reshape(q), reshape(k), reshape(v)
 
-        q = q * (self.dim_head**-0.5)
-        sim = jnp.einsum("bhcn,bhcj->bhnj", q, k)      # node×node similarity
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhnj,bhdj->bhnd", attn, v)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, hidden)  # 'b h n d -> b n (h d)'
+        if self.node_major:
+            n, b = x.shape[0], x.shape[1]
+            # [N,B,H·C] → [N,B,h,c]: reshape only, no transpose
+            shape4 = (n, b, self.heads, self.dim_head)
+            q = q.reshape(shape4) * (self.dim_head**-0.5)
+            k = k.reshape(shape4)
+            v = v.reshape(shape4)
+            sim = jnp.einsum("nbhc,mbhc->bhnm", q, k)
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bhnm,mbhc->nbhc", attn, v).reshape(n, b, hidden)
+        else:
+            b, n = x.shape[0], x.shape[1]
+            shape4 = (b, n, self.heads, self.dim_head)
+            q = q.reshape(shape4) * (self.dim_head**-0.5)
+            k = k.reshape(shape4)
+            v = v.reshape(shape4)
+            sim = jnp.einsum("bnhc,bmhc->bhnm", q, k)
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bhnm,bmhc->bnhc", attn, v).reshape(b, n, hidden)
 
         return StaticGraphLinear(
             hidden, dim_out, num_nodes=self.num_nodes, node_types=self.node_types,
-            learn_influence=self.learn_influence, use_bias=False, name="to_out",
+            learn_influence=self.learn_influence, use_bias=False,
+            node_major=self.node_major, name="to_out",
         )(out)
 
 
@@ -86,13 +104,15 @@ class PreNormAttentionResidual(nn.Module):
     dim_head: int = 32
     node_types: Optional[np.ndarray] = None
     learn_influence: bool = False
+    node_major: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         h = RMSNorm(self.dim, name="norm")(x)
         h = Attention(
             dim=self.dim, num_nodes=self.num_nodes, heads=self.heads, dim_head=self.dim_head,
-            node_types=self.node_types, learn_influence=self.learn_influence, name="attn",
+            node_types=self.node_types, learn_influence=self.learn_influence,
+            node_major=self.node_major, name="attn",
         )(h)
         return h + x
 
@@ -106,12 +126,13 @@ class Block(nn.Module):
     num_nodes: int
     node_types: Optional[np.ndarray] = None
     learn_influence: bool = False
+    node_major: bool = False
 
     @nn.compact
     def __call__(self, x: Array, scale_shift=None) -> Array:
         x = StaticGraphLinear(
             self.dim, self.dim_out, num_nodes=self.num_nodes, node_types=self.node_types,
-            learn_influence=self.learn_influence, name="proj",
+            learn_influence=self.learn_influence, node_major=self.node_major, name="proj",
         )(x)
         if scale_shift is not None:
             scale, shift = scale_shift
@@ -129,6 +150,7 @@ class ResnetBlock(nn.Module):
     time_emb_dim: Optional[int] = None
     node_types: Optional[np.ndarray] = None
     learn_influence: bool = False
+    node_major: bool = False
 
     @nn.compact
     def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
@@ -141,20 +163,19 @@ class ResnetBlock(nn.Module):
                 bias_init=torch_linear_weight(self.time_emb_dim),
                 name="mlp",
             )(t)
-            t = t[:, None, :]  # 'b c -> b 1 c'
+            # broadcast over the node axis: [B,C] → [1,B,C] (node-major) or
+            # [B,1,C] (batch-major); reference 'b c -> b 1 c'
+            t = t[None, :, :] if self.node_major else t[:, None, :]
             scale_shift = jnp.split(t, 2, axis=-1)
 
-        h = Block(self.dim, self.dim_out, num_nodes=self.num_nodes,
-                  node_types=self.node_types, learn_influence=self.learn_influence,
-                  name="block1")(x, scale_shift=scale_shift)
-        h = Block(self.dim_out, self.dim_out, num_nodes=self.num_nodes,
-                  node_types=self.node_types, learn_influence=self.learn_influence,
-                  name="block2")(h)
+        common = dict(num_nodes=self.num_nodes, node_types=self.node_types,
+                      learn_influence=self.learn_influence, node_major=self.node_major)
+        h = Block(self.dim, self.dim_out, name="block1", **common)(x, scale_shift=scale_shift)
+        h = Block(self.dim_out, self.dim_out, name="block2", **common)(h)
 
         if self.dim != self.dim_out:
             res = StaticGraphLinear(
-                self.dim, self.dim_out, num_nodes=self.num_nodes, node_types=self.node_types,
-                learn_influence=self.learn_influence, use_bias=False, name="res_linear",
+                self.dim, self.dim_out, use_bias=False, name="res_linear", **common
             )(x)
         else:
             res = x

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .graph_linear import gmm, l1_normalize_rows
+from .graph_linear import gmix_nm, gmm, gmm_nm, l1_normalize_rows
 from .initializers import uniform_stdv
 
 Array = jnp.ndarray
@@ -49,6 +49,7 @@ class StaticGraphGRUCell(nn.Module):
     learn_influence: bool = False
     learn_additive_graph_influence: bool = False
     use_bias: bool = True
+    node_major: bool = False  # activations [N,B,F]; see graph_linear.gmm_nm
 
     @nn.compact
     def __call__(self, carry: GraphGRUState, x: Array) -> Tuple[GraphGRUState, Array]:
@@ -62,16 +63,22 @@ class StaticGraphGRUCell(nn.Module):
         w_ih = self.param("weight_ih", init, (n_types, self.input_size, 3 * H))
         w_hh = self.param("weight_hh", init, (n_types, H, 3 * H))
 
-        x_results = gmm(x, w_ih[type_index])
-        h_results = gmm(hx, w_hh[type_index])
+        mm = gmm_nm if self.node_major else gmm
+        x_results = mm(x, w_ih[type_index])
+        h_results = mm(hx, w_hh[type_index])
         if self.use_bias:
             b_ih = self.param("bias_ih", init, (n_types, 3 * H))
             b_hh = self.param("bias_hh", init, (n_types, 3 * H))
-            x_results = x_results + b_ih[type_index]
-            h_results = h_results + b_hh[type_index]
+            badd = (lambda b: b[:, None, :]) if self.node_major else (lambda b: b)
+            x_results = x_results + badd(b_ih[type_index])
+            h_results = h_results + badd(b_hh[type_index])
 
-        x_results = jnp.einsum("nm,bmo->bno", gx, x_results)
-        h_results = jnp.einsum("nm,bmo->bno", gx, h_results)
+        if self.node_major:
+            x_results = gmix_nm(gx, x_results)
+            h_results = gmix_nm(gx, h_results)
+        else:
+            x_results = jnp.einsum("nm,bmo->bno", gx, x_results)
+            h_results = jnp.einsum("nm,bmo->bno", gx, h_results)
 
         i_r, i_z, i_n = jnp.split(x_results, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(h_results, 3, axis=-1)
@@ -100,6 +107,7 @@ class StaticGraphLSTMCell(nn.Module):
     learn_influence: bool = False
     learn_additive_graph_influence: bool = False
     use_bias: bool = True
+    node_major: bool = False
 
     @nn.compact
     def __call__(self, carry: GraphLSTMState, x: Array) -> Tuple[GraphLSTMState, Array]:
@@ -115,13 +123,14 @@ class StaticGraphLSTMCell(nn.Module):
         w_ih = self.param("weight_ih", tied, (n_types, self.input_size, 4 * H))
         w_hh = self.param("weight_hh", tied, (n_types, H, 4 * H))
 
-        gates = gmm(x, w_ih[type_index]) + gmm(hx, w_hh[type_index])
+        mm = gmm_nm if self.node_major else gmm
+        gates = mm(x, w_ih[type_index]) + mm(hx, w_hh[type_index])
         if self.use_bias:
             # only bias_hh enters the forward pass (`recurrent.py:149-150`);
             # bias_ih exists upstream but is unused — not replicated
             b_hh = self.param("bias_hh", base, (n_types, 4 * H))
-            gates = gates + b_hh[type_index]
-        gates = jnp.einsum("nm,bmo->bno", gx, gates)
+            gates = gates + (b_hh[type_index][:, None, :] if self.node_major else b_hh[type_index])
+        gates = gmix_nm(gx, gates) if self.node_major else jnp.einsum("nm,bmo->bno", gx, gates)
 
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         cy = jax.nn.sigmoid(f) * cx + jax.nn.sigmoid(i) * jnp.tanh(g)
@@ -159,6 +168,7 @@ class _GraphRNNBase(nn.Module):
     learn_influence: bool = False
     learn_additive_graph_influence: bool = False
     use_bias: bool = True
+    node_major: bool = False  # input [T,N,B,F] (time-major) instead of [B,T,N,F]
 
     cell_cls = StaticGraphGRUCell
 
@@ -169,7 +179,10 @@ class _GraphRNNBase(nn.Module):
         return jnp.eye(self.num_nodes, dtype=jnp.float32)
 
     def _default_state(self, batch: int, layer: int, dtype):
-        h0 = jnp.zeros((batch, self.num_nodes, self.hidden_size), dtype=dtype)
+        if self.node_major:
+            h0 = jnp.zeros((self.num_nodes, batch, self.hidden_size), dtype=dtype)
+        else:
+            h0 = jnp.zeros((batch, self.num_nodes, self.hidden_size), dtype=dtype)
         g0 = self._initial_g(layer)
         if self.cell_cls is StaticGraphLSTMCell:
             return (h0, jnp.zeros_like(h0), g0)
@@ -177,7 +190,7 @@ class _GraphRNNBase(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, states: Optional[List] = None):
-        batch = x.shape[0]
+        batch = x.shape[2] if self.node_major else x.shape[0]
         if states is None:
             states = [None] * self.num_layers
 
@@ -193,12 +206,13 @@ class _GraphRNNBase(nn.Module):
                 # projection) with defaults
                 state = tuple(d if s is None else s for s, d in zip(state, default))
 
+            time_axis = 0 if self.node_major else 1
             scan_cell = nn.scan(
                 self.cell_cls,
                 variable_broadcast="params",
                 split_rngs={"params": False},
-                in_axes=1,
-                out_axes=1,
+                in_axes=time_axis,
+                out_axes=time_axis,
             )(
                 input_size=self.input_size if i == 0 else self.hidden_size,
                 hidden_size=self.hidden_size,
@@ -207,6 +221,7 @@ class _GraphRNNBase(nn.Module):
                 learn_influence=self.learn_influence,
                 learn_additive_graph_influence=self.learn_additive_graph_influence,
                 use_bias=self.use_bias,
+                node_major=self.node_major,
                 name=f"cell{i}",
             )
             state, out = scan_cell(state, out)

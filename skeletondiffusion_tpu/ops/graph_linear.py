@@ -36,6 +36,23 @@ def gmm(x: Array, w: Array) -> Array:
     return jnp.einsum("bni,nio->bno", x, w)
 
 
+def gmm_nm(x: Array, w: Array) -> Array:
+    """Node-major per-node matmul: [N,B,i]·[N,i,o]→[N,B,o].
+
+    TPU layout note: with the node axis LEADING on both operands this lowers
+    to a clean batched dot_general with zero transposes; the [B,N,F]-major
+    form forces XLA to materialize [N,F,B]-layout copies of every activation
+    (measured 162 GB of HBM traffic per denoiser forward before this
+    change)."""
+    return jnp.einsum("nbi,nio->nbo", x, w)
+
+
+def gmix_nm(g: Array, x: Array) -> Array:
+    """Influence mix in node-major layout: [N,N]·[N,B,F]→[N,B,F] — a single
+    [N, B·F] matmul, no transposes."""
+    return jnp.einsum("nm,mbf->nbf", g, x)
+
+
 class StaticGraphLinear(nn.Module):
     """Reference `graph_structural.py:58-114`.
 
@@ -46,6 +63,8 @@ class StaticGraphLinear(nn.Module):
             weight bank (L/R mirror joints).  None → one shared bank.
         learn_influence: learn G (init = I, row-L1-normalized at each use).
         bias: learn an additive bias.
+        node_major: input/output layout [N,B,F] instead of [B,N,F] — the
+            TPU-efficient internal layout (see ``gmm_nm``).
     """
 
     in_features: int
@@ -54,6 +73,7 @@ class StaticGraphLinear(nn.Module):
     node_types: Optional[np.ndarray] = None
     learn_influence: bool = False
     use_bias: bool = True
+    node_major: bool = False
 
     @nn.compact
     def __call__(self, x: Array, g: Optional[Array] = None) -> Array:
@@ -73,6 +93,15 @@ class StaticGraphLinear(nn.Module):
                 g = l1_normalize_rows(G)
             else:
                 g = jnp.eye(self.num_nodes, dtype=x.dtype)
+
+        if self.node_major:
+            out = gmm_nm(x, weight[type_index])
+            if self.use_bias:
+                bias = self.param(
+                    "bias", graph_linear_bias(n_types, self.in_features, self.out_features)
+                )
+                out = out + bias[type_index][:, None, :]
+            return gmix_nm(g, out)
 
         out = gmm(x, weight[type_index])
         if self.use_bias:

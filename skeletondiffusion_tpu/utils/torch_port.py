@@ -104,8 +104,11 @@ def port_autoencoder(sd: Dict[str, np.ndarray], enc_num_layers: int = 1) -> Dict
 
     dec: Dict[str, Dict] = {
         "initial_hidden_h": _glin(sd, "decoder.initial_hidden_h"),
-        "fc": _glin(sd, "decoder.fc"),
-        "cell": _rnn_cell(sd, "decoder.rnn.layers.0"),
+        # the rollout scan step owns the cell + output head
+        "rollout": {
+            "cell": _rnn_cell(sd, "decoder.rnn.layers.0"),
+            "fc": _glin(sd, "decoder.fc"),
+        },
         "G0": sd["decoder.rnn.layers.0.G"],
     }
     if "decoder.initial_hidden_c.weight" in sd:
