@@ -28,9 +28,16 @@ from .multimodal import (
 )
 from .ranking import get_closest_and_nfurthest_maxapd
 from .suite import MetricSuite, draw_table, get_stats_funcs
+from .tables import (
+    FinalDisplacementErrorMeter,
+    MeanPerJointPositionErrorTable,
+    format_metric_time_table,
+)
 
 __all__ = [
     "APDEAccumulator", "CMDAccumulator", "ClassifierForFID", "FIDAccumulator",
+    "FinalDisplacementErrorMeter", "MeanPerJointPositionErrorTable",
+    "format_metric_time_table",
     "MetricStorer", "MetricSuite", "ade", "apd", "choose_best_sample",
     "cmd_from_curve", "draw_table", "fde", "fid_from_activations",
     "get_closest_and_nfurthest_maxapd", "get_stats_funcs", "lat_apd",

@@ -27,17 +27,27 @@ class ClassifierForFID(nn.Module):
     hidden_layer: int = 2
     output_size: int = 15
 
-    @nn.compact
+    def setup(self):
+        init = nn.initializers.lecun_normal()
+        H = self.hidden_size
+        for layer in range(self.hidden_layer):
+            in_size = self.input_size if layer == 0 else H
+            setattr(self, f"w_ih_l{layer}_", self.param(f"w_ih_l{layer}", init, (in_size, 3 * H)))
+            setattr(self, f"w_hh_l{layer}_", self.param(f"w_hh_l{layer}", init, (H, 3 * H)))
+            setattr(self, f"b_ih_l{layer}_", self.param(f"b_ih_l{layer}", nn.initializers.zeros, (3 * H,)))
+            setattr(self, f"b_hh_l{layer}_", self.param(f"b_hh_l{layer}", nn.initializers.zeros, (3 * H,)))
+        self.linear1 = nn.Dense(30, name="linear1")
+        self.linear2 = nn.Dense(self.output_size, name="linear2")
+
     def _gru_features(self, motion: Array, h0: Array) -> Array:
         """motion [B, F, T] (reference layout) → last GRU output [B, H]."""
         x = jnp.transpose(motion, (0, 2, 1))  # [B, T, F]
 
         for layer in range(self.hidden_layer):
-            in_size = self.input_size if layer == 0 else self.hidden_size
-            w_ih = self.param(f"w_ih_l{layer}", nn.initializers.lecun_normal(), (in_size, 3 * self.hidden_size))
-            w_hh = self.param(f"w_hh_l{layer}", nn.initializers.lecun_normal(), (self.hidden_size, 3 * self.hidden_size))
-            b_ih = self.param(f"b_ih_l{layer}", nn.initializers.zeros, (3 * self.hidden_size,))
-            b_hh = self.param(f"b_hh_l{layer}", nn.initializers.zeros, (3 * self.hidden_size,))
+            w_ih = getattr(self, f"w_ih_l{layer}_")
+            w_hh = getattr(self, f"w_hh_l{layer}_")
+            b_ih = getattr(self, f"b_ih_l{layer}_")
+            b_hh = getattr(self, f"b_hh_l{layer}_")
 
             def step(h, xt, w_ih=w_ih, w_hh=w_hh, b_ih=b_ih, b_hh=b_hh):
                 gi = xt @ w_ih + b_ih
@@ -57,13 +67,10 @@ class ClassifierForFID(nn.Module):
     def get_fid_features(self, motion: Array, h0: Array) -> Array:
         """[B, 48, T] → tanh(linear1(gru_last)) [B, 30]; reference
         `fid_classifier.py:41-52`."""
-        g = self._gru_features(motion, h0)
-        lin1 = nn.Dense(30, name="linear1")(g)
-        return jnp.tanh(lin1)
+        return jnp.tanh(self.linear1(self._gru_features(motion, h0)))
 
     def __call__(self, motion: Array, h0: Array) -> Array:
-        feats = self.get_fid_features(motion, h0)
-        return nn.Dense(self.output_size, name="linear2")(feats)
+        return self.linear2(self.get_fid_features(motion, h0))
 
 
 def port_classifier(sd: Dict[str, np.ndarray], hidden_layer: int = 2) -> Dict:

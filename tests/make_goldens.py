@@ -244,6 +244,22 @@ def main():
     )
     np.savez(os.path.join(OUT, "metrics.npz"), **gold)
 
+    # --- FID classifier (2-layer torch nn.GRU + heads) ----------------------
+    from metrics.fid_classifier import ClassifierForFID  # noqa: E402
+
+    clf = ClassifierForFID(input_size=48, hidden_size=128, hidden_layer=2,
+                           output_size=15, device="cpu").eval()
+    motion = torch.tensor(rng.standard_normal((3, 48, 25)).astype(np.float32))
+    h0 = torch.zeros(2, 3, 128)
+    with torch.no_grad():
+        feats = clf.get_fid_features(motion, hidden_unit=h0)
+        logits = clf(motion, hidden_unit=h0)
+    np.savez(
+        os.path.join(OUT, "fid_classifier.npz"),
+        motion=motion.numpy(), feats=np64(feats), logits=np64(logits),
+        **{k: np64(v) for k, v in clf.state_dict().items()},
+    )
+
     print("goldens written to", OUT)
 
 
