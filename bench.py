@@ -25,6 +25,7 @@ import numpy as np
 REFERENCE_PREDS_PER_SEC = 12726 / (12 * 60)  # ≈ 17.7
 
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
+COMPUTE_DTYPE = os.environ.get("BENCH_DTYPE") or None  # e.g. 'bfloat16'
 NUM_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 50))
 OBS_LEN, PRED_LEN, LATENT = 30, 120, 96
 REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
@@ -43,7 +44,7 @@ def build():
     N = skeleton.num_nodes
     ae = AutoEncoder(
         num_nodes=N, encoder_hidden_size=96, decoder_hidden_size=96, latent_size=LATENT,
-        node_types=skeleton.nodes_type_id,
+        node_types=skeleton.nodes_type_id, compute_dtype=COMPUTE_DTYPE,
     )
     ae_params = ae.init(
         jax.random.key(0), jnp.zeros((1, PRED_LEN, N, 3)), jnp.zeros((1, OBS_LEN, N, 3)),
@@ -56,6 +57,7 @@ def build():
         diffusion_arch={"depth": 4, "attn_heads": 8, "attn_dim_head": 32,
                         "use_attention": True, "learn_influence": True,
                         "self_condition": False, "norm_type": "none"},
+        compute_dtype=COMPUTE_DTYPE,
     )
     dparams = denoiser.init(
         jax.random.key(1), jnp.zeros((1, N, LATENT)), jnp.zeros((1,), jnp.int32),

@@ -66,6 +66,7 @@ def build_autoencoder(cfg: Dict[str, Any], skeleton) -> AutoEncoder:
         output_size=cfg.get("output_size", 3),
         z_activation=cfg.get("z_activation", "tanh"),
         loss_pose_type=cfg.get("loss_pose_type", "l1"),
+        compute_dtype=cfg.get("compute_dtype"),
         **arch,
     )
 

@@ -19,6 +19,7 @@ def build_denoiser(
     latent_size: int = 96,
     node_types: Optional[np.ndarray] = None,
     diffusion_arch: Optional[Dict[str, Any]] = None,
+    compute_dtype: Optional[str] = None,
     **kwargs,
 ) -> Denoiser:
     """Reference `diffusion_manager.py:36-45` (``get_network``)."""
@@ -33,6 +34,7 @@ def build_denoiser(
         out_dim=latent_size,
         channels=num_nodes,
         node_types=node_types,
+        compute_dtype=compute_dtype,
         **arch,
     )
 
@@ -60,10 +62,12 @@ def create_diffusion(
     diffusion_arch: Optional[Dict[str, Any]] = None,
     sampling_timesteps: Optional[int] = None,
     ddim_sampling_eta: float = 0.0,
+    compute_dtype: Optional[str] = None,
     **kwargs,
 ) -> Tuple[GaussianDiffusion, Denoiser]:
     """Build (engine, denoiser module); reference
-    `diffusion_manager.py:8-31`."""
+    `diffusion_manager.py:8-31`.  ``compute_dtype='bfloat16'`` runs the
+    denoiser's internals in reduced precision (params/outputs fp32)."""
     num_nodes = skeleton.num_nodes
     node_types = skeleton.nodes_type_id
     model = build_denoiser(
@@ -72,6 +76,7 @@ def create_diffusion(
         latent_size=latent_size,
         node_types=node_types,
         diffusion_arch=diffusion_arch,
+        compute_dtype=compute_dtype,
     )
 
     if diffusion_type == "NonisotropicGaussianDiffusion":

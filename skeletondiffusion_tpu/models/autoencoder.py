@@ -43,6 +43,7 @@ class Encoder(nn.Module):
     enc_num_layers: int = 1
     encoder_act: str = "tanh"
     recurrent_arch: str = "StaticGraphGRU"
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: Array, last_index=None) -> Tuple[Array, List]:
@@ -59,7 +60,7 @@ class Encoder(nn.Module):
             input_size=self.input_size, hidden_size=self.hidden_size,
             num_nodes=self.num_nodes, num_layers=self.enc_num_layers,
             node_types=self.node_types, learn_influence=True, use_bias=True,
-            node_major=True, name="rnn",
+            node_major=True, compute_dtype=self.compute_dtype, name="rnn",
         )
         h0 = StaticGraphLinear(
             self.input_size, self.hidden_size, num_nodes=self.num_nodes,
@@ -100,6 +101,7 @@ class _RolloutStep(nn.Module):
     output_size: int
     num_nodes: int
     node_types: Optional[np.ndarray] = None
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, carry, x: Array):
@@ -107,13 +109,14 @@ class _RolloutStep(nn.Module):
             input_size=self.input_size, hidden_size=self.hidden_size,
             num_nodes=self.num_nodes, node_types=self.node_types,
             learn_influence=True, learn_additive_graph_influence=True,
-            node_major=True, name="cell",
+            node_major=True, compute_dtype=self.compute_dtype, name="cell",
         )(carry, x)
         y = StaticGraphLinear(
             self.hidden_size, self.output_size, num_nodes=self.num_nodes,
-            node_types=self.node_types, learn_influence=True, node_major=True, name="fc",
+            node_types=self.node_types, learn_influence=True, node_major=True,
+            compute_dtype=self.compute_dtype, name="fc",
         )(h)
-        return carry, jnp.tanh(y)
+        return carry, jnp.tanh(y).astype(jnp.float32)
 
 
 class Decoder(nn.Module):
@@ -132,6 +135,7 @@ class Decoder(nn.Module):
     node_types: Optional[np.ndarray] = None
     dec_num_layers: int = 1
     recurrent_arch_decoder: str = "StaticGraphGRU"
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: Array, z: Array, ph: int = 1) -> Tuple[Array, Array]:
@@ -180,6 +184,7 @@ class Decoder(nn.Module):
             output_size=self.output_size,
             num_nodes=self.num_nodes,
             node_types=self.node_types,
+            compute_dtype=self.compute_dtype,
             name="rollout",
         )
         _, ys = scan_step(carry, rec_input)           # [ph,N,B,3]
@@ -207,19 +212,21 @@ class AutoEncoder(nn.Module):
     loss_pose_type: str = "l1"
     recurrent_arch_enc: str = "StaticGraphGRU"
     recurrent_arch_decoder: str = "StaticGraphGRU"
+    compute_dtype: str = None
 
     def setup(self):
         self.encoder = Encoder(
             num_nodes=self.num_nodes, input_size=self.input_size,
             hidden_size=self.encoder_hidden_size, output_size=self.latent_size,
             node_types=self.node_types, enc_num_layers=self.enc_num_layers,
-            recurrent_arch=self.recurrent_arch_enc,
+            recurrent_arch=self.recurrent_arch_enc, compute_dtype=self.compute_dtype,
         )
         self.decoder = Decoder(
             num_nodes=self.num_nodes, feature_size=self.input_size,
             input_size=self.latent_size, hidden_size=self.decoder_hidden_size,
             output_size=self.output_size, node_types=self.node_types,
             recurrent_arch_decoder=self.recurrent_arch_decoder,
+            compute_dtype=self.compute_dtype,
         )
 
     def _z_act(self, h: Array) -> Array:

@@ -46,6 +46,9 @@ class Denoiser(nn.Module):
     # internal activations run node-major [N,B,F] — one transpose at entry
     # and exit instead of layout churn at every layer (see ops.graph_linear)
     node_major: bool = True
+    # optional reduced-precision compute (e.g. 'bfloat16'): activations and
+    # weight casts inside the network; params and outputs stay float32
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: Array, time: Array, x_cond: Optional[Array] = None) -> Array:
@@ -56,6 +59,7 @@ class Denoiser(nn.Module):
         common = dict(
             num_nodes=num_nodes, node_types=self.node_types,
             learn_influence=self.learn_influence, node_major=self.node_major,
+            compute_dtype=self.compute_dtype,
         )
 
         if self.self_condition:
@@ -65,6 +69,8 @@ class Denoiser(nn.Module):
             x = jnp.concatenate([x_cond, x], axis=-1)
         if self.node_major:
             x = jnp.swapaxes(x, 0, 1)  # [B,N,F] → [N,B,F]
+        if self.compute_dtype:
+            x = x.astype(jnp.dtype(self.compute_dtype))
 
         x = StaticGraphLinear(input_dim, diffusion_size, name="init_lin", **common)(x)
         r = x
@@ -84,7 +90,7 @@ class Denoiser(nn.Module):
             x = ResnetBlock(
                 diffusion_size, diffusion_size, num_nodes=num_nodes, time_emb_dim=time_dim,
                 node_types=self.node_types, learn_influence=self.learn_influence,
-                node_major=self.node_major, name=f"res{i}",
+                node_major=self.node_major, compute_dtype=self.compute_dtype, name=f"res{i}",
             )(x, t)
             if i != n_pairs - 1:
                 if self.use_attention:
@@ -92,7 +98,8 @@ class Denoiser(nn.Module):
                         diffusion_size, num_nodes=num_nodes, heads=self.attn_heads,
                         dim_head=self.attn_dim_head, node_types=self.node_types,
                         learn_influence=self.learn_influence,
-                        node_major=self.node_major, name=f"attn{i}",
+                        node_major=self.node_major, compute_dtype=self.compute_dtype,
+                        name=f"attn{i}",
                     )(x)
                 else:
                     from ..ops.attention import RMSNorm
@@ -107,9 +114,10 @@ class Denoiser(nn.Module):
         x = ResnetBlock(
             diffusion_size * 2, diffusion_size, num_nodes=num_nodes, time_emb_dim=time_dim,
             node_types=self.node_types, learn_influence=self.learn_influence,
-            node_major=self.node_major, name="final_res_block",
+            node_major=self.node_major, compute_dtype=self.compute_dtype,
+            name="final_res_block",
         )(x, t)
         x = StaticGraphLinear(diffusion_size, self.out_dim, name="final_glin", **common)(x)
         if self.node_major:
             x = jnp.swapaxes(x, 0, 1)  # [N,B,F] → [B,N,F]
-        return x
+        return x.astype(jnp.float32)

@@ -54,6 +54,7 @@ class Attention(nn.Module):
     learn_influence: bool = False
     qkv_bias: bool = False
     node_major: bool = False
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -63,7 +64,7 @@ class Attention(nn.Module):
         qkv = StaticGraphLinear(
             self.dim, hidden * 3, num_nodes=self.num_nodes, node_types=self.node_types,
             learn_influence=self.learn_influence, use_bias=self.qkv_bias,
-            node_major=self.node_major, name="to_qkv",
+            node_major=self.node_major, compute_dtype=self.compute_dtype, name="to_qkv",
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -90,7 +91,7 @@ class Attention(nn.Module):
         return StaticGraphLinear(
             hidden, dim_out, num_nodes=self.num_nodes, node_types=self.node_types,
             learn_influence=self.learn_influence, use_bias=False,
-            node_major=self.node_major, name="to_out",
+            node_major=self.node_major, compute_dtype=self.compute_dtype, name="to_out",
         )(out)
 
 
@@ -105,6 +106,7 @@ class PreNormAttentionResidual(nn.Module):
     node_types: Optional[np.ndarray] = None
     learn_influence: bool = False
     node_major: bool = False
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -112,7 +114,7 @@ class PreNormAttentionResidual(nn.Module):
         h = Attention(
             dim=self.dim, num_nodes=self.num_nodes, heads=self.heads, dim_head=self.dim_head,
             node_types=self.node_types, learn_influence=self.learn_influence,
-            node_major=self.node_major, name="attn",
+            node_major=self.node_major, compute_dtype=self.compute_dtype, name="attn",
         )(h)
         return h + x
 
@@ -127,12 +129,14 @@ class Block(nn.Module):
     node_types: Optional[np.ndarray] = None
     learn_influence: bool = False
     node_major: bool = False
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: Array, scale_shift=None) -> Array:
         x = StaticGraphLinear(
             self.dim, self.dim_out, num_nodes=self.num_nodes, node_types=self.node_types,
-            learn_influence=self.learn_influence, node_major=self.node_major, name="proj",
+            learn_influence=self.learn_influence, node_major=self.node_major,
+            compute_dtype=self.compute_dtype, name="proj",
         )(x)
         if scale_shift is not None:
             scale, shift = scale_shift
@@ -151,6 +155,7 @@ class ResnetBlock(nn.Module):
     node_types: Optional[np.ndarray] = None
     learn_influence: bool = False
     node_major: bool = False
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
@@ -166,10 +171,13 @@ class ResnetBlock(nn.Module):
             # broadcast over the node axis: [B,C] → [1,B,C] (node-major) or
             # [B,1,C] (batch-major); reference 'b c -> b 1 c'
             t = t[None, :, :] if self.node_major else t[:, None, :]
+            if self.compute_dtype:
+                t = t.astype(jnp.dtype(self.compute_dtype))
             scale_shift = jnp.split(t, 2, axis=-1)
 
         common = dict(num_nodes=self.num_nodes, node_types=self.node_types,
-                      learn_influence=self.learn_influence, node_major=self.node_major)
+                      learn_influence=self.learn_influence, node_major=self.node_major,
+                      compute_dtype=self.compute_dtype)
         h = Block(self.dim, self.dim_out, name="block1", **common)(x, scale_shift=scale_shift)
         h = Block(self.dim_out, self.dim_out, name="block2", **common)(h)
 

@@ -50,6 +50,7 @@ class StaticGraphGRUCell(nn.Module):
     learn_additive_graph_influence: bool = False
     use_bias: bool = True
     node_major: bool = False  # activations [N,B,F]; see graph_linear.gmm_nm
+    compute_dtype: str = None  # e.g. 'bfloat16'; params/carry stay fp32
 
     @nn.compact
     def __call__(self, carry: GraphGRUState, x: Array) -> Tuple[GraphGRUState, Array]:
@@ -57,6 +58,7 @@ class StaticGraphGRUCell(nn.Module):
         type_index, n_types = _type_index(self.node_types, self.num_nodes)
         H = self.hidden_size
         init = uniform_stdv(H)
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
         # [types, in, 3H]; the reference stores [types, 3H, in] and transposes
         # at use (`recurrent.py:270-277,346-347`) — same linear map
@@ -64,21 +66,29 @@ class StaticGraphGRUCell(nn.Module):
         w_hh = self.param("weight_hh", init, (n_types, H, 3 * H))
 
         mm = gmm_nm if self.node_major else gmm
+        if cdt is not None:
+            x, hx_c = x.astype(cdt), hx.astype(cdt)
+            w_ih, w_hh = w_ih.astype(cdt), w_hh.astype(cdt)
+        else:
+            hx_c = hx
         x_results = mm(x, w_ih[type_index])
-        h_results = mm(hx, w_hh[type_index])
+        h_results = mm(hx_c, w_hh[type_index])
         if self.use_bias:
             b_ih = self.param("bias_ih", init, (n_types, 3 * H))
             b_hh = self.param("bias_hh", init, (n_types, 3 * H))
+            if cdt is not None:
+                b_ih, b_hh = b_ih.astype(cdt), b_hh.astype(cdt)
             badd = (lambda b: b[:, None, :]) if self.node_major else (lambda b: b)
             x_results = x_results + badd(b_ih[type_index])
             h_results = h_results + badd(b_hh[type_index])
 
+        gx_c = gx.astype(cdt) if cdt is not None else gx
         if self.node_major:
-            x_results = gmix_nm(gx, x_results)
-            h_results = gmix_nm(gx, h_results)
+            x_results = gmix_nm(gx_c, x_results)
+            h_results = gmix_nm(gx_c, h_results)
         else:
-            x_results = jnp.einsum("nm,bmo->bno", gx, x_results)
-            h_results = jnp.einsum("nm,bmo->bno", gx, h_results)
+            x_results = jnp.einsum("nm,bmo->bno", gx_c, x_results)
+            h_results = jnp.einsum("nm,bmo->bno", gx_c, h_results)
 
         i_r, i_z, i_n = jnp.split(x_results, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(h_results, 3, axis=-1)
@@ -86,7 +96,9 @@ class StaticGraphGRUCell(nn.Module):
         r = jax.nn.sigmoid(i_r + h_r)
         z = jax.nn.sigmoid(i_z + h_z)
         n = jnp.tanh(i_n + r * h_n)
-        hy = n - n * z + z * hx
+        # the carried hidden state stays float32 (bf16 carries would compound
+        # 120-step rollout error); only the matmuls run reduced precision
+        hy = (n - n * z).astype(hx.dtype) + z.astype(hx.dtype) * hx
 
         if self.learn_additive_graph_influence:
             G_add = self.param("G_add", nn.initializers.zeros, (self.num_nodes, self.num_nodes))
@@ -169,6 +181,7 @@ class _GraphRNNBase(nn.Module):
     learn_additive_graph_influence: bool = False
     use_bias: bool = True
     node_major: bool = False  # input [T,N,B,F] (time-major) instead of [B,T,N,F]
+    compute_dtype: str = None
 
     cell_cls = StaticGraphGRUCell
 
@@ -222,6 +235,7 @@ class _GraphRNNBase(nn.Module):
                 learn_additive_graph_influence=self.learn_additive_graph_influence,
                 use_bias=self.use_bias,
                 node_major=self.node_major,
+                compute_dtype=self.compute_dtype,
                 name=f"cell{i}",
             )
             state, out = scan_cell(state, out)

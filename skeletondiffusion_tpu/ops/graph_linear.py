@@ -74,6 +74,7 @@ class StaticGraphLinear(nn.Module):
     learn_influence: bool = False
     use_bias: bool = True
     node_major: bool = False
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; params stay fp32
 
     @nn.compact
     def __call__(self, x: Array, g: Optional[Array] = None) -> Array:
@@ -87,12 +88,18 @@ class StaticGraphLinear(nn.Module):
         weight = self.param(
             "weight", graph_linear_weight(n_types, self.in_features, self.out_features)
         )
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        if cdt is not None:
+            weight = weight.astype(cdt)
+            x = x.astype(cdt)
         if g is None:
             if self.learn_influence:
                 G = self.param("G", lambda key: jnp.eye(self.num_nodes, dtype=jnp.float32))
                 g = l1_normalize_rows(G)
             else:
                 g = jnp.eye(self.num_nodes, dtype=x.dtype)
+        if cdt is not None:
+            g = g.astype(cdt)
 
         if self.node_major:
             out = gmm_nm(x, weight[type_index])
@@ -100,11 +107,15 @@ class StaticGraphLinear(nn.Module):
                 bias = self.param(
                     "bias", graph_linear_bias(n_types, self.in_features, self.out_features)
                 )
+                if cdt is not None:
+                    bias = bias.astype(cdt)
                 out = out + bias[type_index][:, None, :]
             return gmix_nm(g, out)
 
         out = gmm(x, weight[type_index])
         if self.use_bias:
             bias = self.param("bias", graph_linear_bias(n_types, self.in_features, self.out_features))
+            if cdt is not None:
+                bias = bias.astype(cdt)
             out = out + bias[type_index]
         return jnp.einsum("nm,bmo->bno", g, out)
