@@ -40,6 +40,7 @@ class SkeletonDiffusionPredictor:
         num_samples: int = 50,
         pred_length: int = 100,
         diffusion_conditioning: bool = True,
+        use_fused_decode: bool = False,
     ):
         self.skeleton = skeleton
         self.autoencoder = autoencoder
@@ -49,6 +50,9 @@ class SkeletonDiffusionPredictor:
         self.num_samples = num_samples
         self.pred_length = pred_length
         self.diffusion_conditioning = diffusion_conditioning
+        # fused Pallas GRU rollout (forward-only, GRU arch); numerically
+        # equivalent to AutoEncoder.decode — see ops/pallas/gru_rollout.py
+        self.use_fused_decode = use_fused_decode
         self._jit_predict = jax.jit(self._predict, static_argnames=("num_samples", "pred_length"))
 
     def _predict(self, ae_params, diff_params, rng, obs: Array, num_samples: int, pred_length: int):
@@ -65,9 +69,17 @@ class SkeletonDiffusionPredictor:
         )
         obs_t = jnp.repeat(obs, num_samples, axis=0)
         z_past_t = jnp.repeat(z_past, num_samples, axis=0)
-        pred = self.autoencoder.apply(
-            self.ae_params, obs_t, latents, z_past_t, ph=pred_length, method=AutoEncoder.decode
-        )
+        if self.use_fused_decode and (B * num_samples) % 128 == 0:
+            from .ops.pallas.gru_rollout import decode_rollout
+
+            pred = decode_rollout(
+                ae_params["params"]["decoder"], self.skeleton.nodes_type_id,
+                obs_t[:, -2:], latents, ph=pred_length,
+            )
+        else:
+            pred = self.autoencoder.apply(
+                self.ae_params, obs_t, latents, z_past_t, ph=pred_length, method=AutoEncoder.decode
+            )
         pred = pred.reshape(B, num_samples, pred_length, *pred.shape[2:])
         latents = latents.reshape(B, num_samples, *latents.shape[1:])
         return pred, latents
