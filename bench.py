@@ -71,7 +71,7 @@ def build():
     predictor = SkeletonDiffusionPredictor(
         skeleton, ae, ae_params, diffusion, dparams,
         num_samples=NUM_SAMPLES, pred_length=PRED_LEN,
-        use_fused_decode=bool(int(os.environ.get("BENCH_FUSED", "1"))),
+        use_fused_decode=bool(int(os.environ.get("BENCH_FUSED", "0"))),
     )
 
     # full user-facing program: input-space obs → metric-space predictions

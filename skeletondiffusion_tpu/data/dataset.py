@@ -79,6 +79,27 @@ class BaseDataset:
             "segment_idx": segment_idx,
         }
 
+    def find_segment(self, clip_idx: int, init: int, end: Optional[int] = None):
+        """Segment index from (clip, init[, end]); reference
+        `base_dataset.py:150-155`."""
+        for i, (i_, init_, end_) in enumerate(self.segments):
+            if i_ == clip_idx and init_ == init and (end is None or end_ == end):
+                return i
+        return None
+
+    def find_sample(self, clip_idx: int, init: int, end: Optional[int] = None) -> int:
+        """Reference `base_dataset.py:157-161`."""
+        assert self.augmentation == 0, "Cannot find sample if augmentation is not 0"
+        return int(self.find_segment(clip_idx, init, end) / self.stride)
+
+    def unique_sample_string(self, extra) -> str:
+        """Reference `base_dataset.py:135-141`."""
+        m = extra["metadata"]
+        return (
+            f"{m[0]}-{m[1]}_clip{extra['clip_idx']}_{extra['init']}:{extra['end']}"
+            f"-segment{extra['segment_idx']}"
+        )
+
     def _get_segment(self, i: int, init: int, end: int):
         assert init >= 0
         data = self.annotations[i][init : end + 1]

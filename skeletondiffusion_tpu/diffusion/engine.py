@@ -250,3 +250,51 @@ class GaussianDiffusion:
         shape = (batch_size, self.channels, self.seq_length)
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
         return fn(params, rng, shape, x_cond=x_cond, start_noise=start_noise)
+
+    def p_sample_loop_interpolating(
+        self,
+        params,
+        rng: jax.Array,
+        shape: Tuple[int, ...],
+        noise2interpolate: Array,
+        interpolate_fn: Callable[[Array, Array], Array],
+        x_cond: Optional[Array] = None,
+        start_noise: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        """Ancestral sampling where each step's injected noise is interpolated
+        with a caller-provided noise trajectory — the latent-space
+        interpolation used for the reference's visualizations
+        (`base.py:335-338`, `nonisotropic.py:218-227`).
+
+        ``noise2interpolate``: [B, T-1, N, D] per-step noises (step order
+        t = T-1 … 1, matching the reference's sampling_noise indexing).
+        """
+        rng_start, rng_steps = jax.random.split(rng)
+        if start_noise is None:
+            start_noise = jax.random.normal(rng_start, shape, dtype=jnp.float32)
+        img = start_noise
+        batch = shape[0]
+        T = self.num_timesteps
+
+        def step(carry, t):
+            img, = carry
+            tb = jnp.full((batch,), t, dtype=jnp.int32)
+            model_output = self.feed_model(params, img, tb, x_cond)
+            x_start = model_output if self.objective == "pred_x0" else (
+                self.process.predict_start_from_noise(img, t, model_output)
+            )
+            if self.clip_denoised:
+                x_start = jnp.clip(x_start, -1.0, 1.0)
+            mean, _, log_var = self.process.q_posterior(x_start, img, t)
+            noise = jax.random.normal(jax.random.fold_in(rng_steps, t), shape, dtype=img.dtype)
+            # reference indexes interpolation noise as [:, T-1-t] (`base.py:331-336`)
+            noise2 = jnp.take(noise2interpolate, T - 1 - t, axis=1)
+            scaled1 = self.process.combine_mean_var_noise(jnp.zeros_like(mean), log_var, noise)
+            scaled2 = self.process.combine_mean_var_noise(jnp.zeros_like(mean), log_var, noise2)
+            interp = interpolate_fn(scaled1, scaled2)
+            img = jnp.where(t > 0, mean + interp, mean)
+            return (img,), None
+
+        ts = jnp.arange(T - 1, -1, -1)
+        (img,), _ = jax.lax.scan(step, (img,), ts)
+        return img, start_noise

@@ -159,6 +159,36 @@ def long_term_prediction_best_every50(
     return target_m, pred_m
 
 
+def long_term_prediction_best_first50(
+    predictor, skeleton, rng, obs, target_raw, num_samples: int,
+    pred_length: int, long_term_factor: float,
+):
+    """Second long-term strategy: generate S futures once, then propagate
+    EVERY sample autoregressively (one continuation each); reference
+    `eval_utils.py:70-99`."""
+    n_past = obs.shape[1]
+    steps = math.ceil(long_term_factor)
+    preds, targets = [], []
+    current = None  # [B,S,T,N,3] input space
+    for idx in range(steps):
+        rng, k = jax.random.split(rng)
+        if idx == 0:
+            pred, _ = predictor(k, obs, num_samples=num_samples, pred_length=pred_length)
+        else:
+            B, S = current.shape[:2]
+            flat = current[:, :, -n_past:].reshape(B * S, n_past, *current.shape[3:])
+            pred, _ = predictor(k, flat, num_samples=1, pred_length=pred_length)
+            pred = pred.reshape(B, S, pred_length, *pred.shape[3:])
+        if idx == steps - 1 and int(long_term_factor) != long_term_factor:
+            keep = int(long_term_factor * pred_length) % pred_length
+            pred = pred[..., :keep, :, :]
+        tgt = target_raw[:, idx * pred_length : idx * pred_length + pred.shape[2]]
+        preds.append(skeleton.transform_to_metric_space(pred))
+        targets.append(skeleton.transform_to_metric_space(tgt))
+        current = pred
+    return jnp.concatenate(targets, axis=1), jnp.concatenate(preds, axis=2)
+
+
 def compute_metrics(
     predictor,
     dataset,

@@ -1,5 +1,12 @@
 """Pallas TPU kernel: fused graph-GRU decode rollout.
 
+STATUS: numerically verified in interpret mode (matches the flax decoder to
+1e-5); on-TPU compilation currently fails in Mosaic's layout inference
+("unsupported shape cast") on the [N,bt,3H]→[N,bt·3H] views used to express
+the influence-matrix mix as a single MXU dot.  Lane-preserving layout
+redesign (pad H to 128 and keep the mix operand 2D from construction) is the
+planned fix; until then the XLA node-major decode path is the default.
+
 The decoder unrolls up to 120 sequential graph-GRU steps with a CONSTANT
 input (reference `src/core/network/nn/decoder.py:85-104`).  Under XLA each
 step is a chain of dot kernels whose [N,B,H] activations round-trip through
