@@ -17,6 +17,7 @@ import yaml
 
 from ..data import DataLoader
 from ..diffusion.manager import create_diffusion
+from ..metrics.body_realism import limb_length_variance
 from ..metrics.multimodal import ade, apd, mpjpe
 from ..parallel import replicate, shard_batch
 from ..train.checkpoint import CheckpointManager, load_host_state, save_host_state
@@ -172,7 +173,7 @@ def validate(cfg, skeleton, trainer, state, logger, epoch) -> float:
     dataset = build_dataset(cfg, skeleton, "valid", "data_loader_valid")
     loader = DataLoader(dataset, cfg["batch_size_eval"], shuffle=False)
     preprocess = make_eval_preprocess(skeleton)
-    vals = {"ADE": [], "APD": [], "MPJPE": []}
+    vals = {"ADE": [], "APD": [], "MPJPE": [], "LLVar": []}
     for batch in loader:
         obs_t, pred_t, _ = preprocess(jax.random.key(0), batch["obs"], batch["pred"])
         out, y, samples, x = trainer.validation_step(state, jax.random.key(epoch), (obs_t, pred_t))
@@ -181,6 +182,9 @@ def validate(cfg, skeleton, trainer, state, logger, epoch) -> float:
         vals["ADE"].append(np.asarray(ade(y_m, pred_m)))
         vals["APD"].append(np.asarray(apd(pred_m)))
         vals["MPJPE"].append(np.asarray(mpjpe(y_m, pred_m)))
+        vals["LLVar"].append(
+            np.atleast_1d(np.asarray(limb_length_variance(pred_m, skeleton.get_limbseq(), mode="mean")))
+        )
     results = {k: float(np.concatenate(v).mean()) for k, v in vals.items()}
     logger.log(epoch, results, prefix="valid")
     print(f"[epoch {epoch}] valid:", results)
