@@ -158,26 +158,38 @@ def get_dct_matrix(N: int) -> tuple[np.ndarray, np.ndarray]:
 
 class SkeletonDiscreteCosineTransform(SkeletonCenterPose):
     """Frequency-space representation over the time axis (unused by the
-    default configs; kept for parity with reference `motion/dct.py`)."""
+    default configs); reference `motion/dct.py:39-80`: CenterPose → DCT-II of
+    the observed/future segments; inverse DCT back to metric space."""
 
-    def __init__(self, dct_n: Optional[int] = None, **kwargs):
+    def __init__(self, **kwargs):
         super().__init__(**kwargs)
-        self.dct_n = dct_n
+        dct_fut, idct_fut = get_dct_matrix(self.pred_length)
+        dct_past, idct_past = get_dct_matrix(self.obs_length)
+        self.dct_m_fut = jnp.asarray(dct_fut, jnp.float32)
+        self.idct_m_fut = jnp.asarray(idct_fut, jnp.float32)
+        self.dct_m_past = jnp.asarray(dct_past, jnp.float32)
+        self.idct_m_past = jnp.asarray(idct_past, jnp.float32)
 
-    def _dct_mats(self, T: int):
-        n = self.dct_n or T
-        dct_m, idct_m = get_dct_matrix(T)
-        return jnp.asarray(dct_m[:n], dtype=jnp.float32), jnp.asarray(idct_m[:, :n], dtype=jnp.float32)
+    @staticmethod
+    def _apply(m: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum("dn,...ncf->...dcf", m, data)
 
-    def to_frequency(self, data: jnp.ndarray) -> jnp.ndarray:
-        """[..., T, N, 3] → [..., dct_n, N, 3]."""
-        T = data.shape[-3]
-        dct_m, _ = self._dct_mats(T)
-        return jnp.einsum("kt,...tnd->...knd", dct_m, data)
+    def tranform_to_input_space_pose_only(self, data: jnp.ndarray) -> jnp.ndarray:
+        """Reference `dct.py:50-59`: per-segment DCT after centering."""
+        data = super().tranform_to_input_space_pose_only(data)
+        if data.shape[-3] == self.pred_length:
+            return self._apply(self.dct_m_fut, data)
+        obs = data[..., : self.obs_length, :, :]
+        fut = data[..., self.obs_length :, :, :]
+        return jnp.concatenate(
+            [self._apply(self.dct_m_past, obs), self._apply(self.dct_m_fut, fut)], axis=-3
+        )
 
-    def from_frequency(self, coefs: jnp.ndarray, T: int) -> jnp.ndarray:
-        _, idct_m = self._dct_mats(T)
-        return jnp.einsum("tk,...knd->...tnd", idct_m, coefs)
+    def transform_to_metric_space_pose_only(self, kpts: jnp.ndarray) -> jnp.ndarray:
+        """Reference `dct.py:75-80`."""
+        assert kpts.shape[-3] in (self.pred_length, self.obs_length)
+        idct = self.idct_m_fut if kpts.shape[-3] == self.pred_length else self.idct_m_past
+        return self._apply(idct, kpts)
 
 
 def get_motion_representation_class(motion_repr_type: str):
