@@ -45,10 +45,19 @@ class GaussianDiffusion:
         clip_denoised: bool = True,
         sampling_timesteps: Optional[int] = None,
         ddim_sampling_eta: float = 0.0,
+        cond_embed: Optional[Callable] = None,
+        model_apply_ucond: Optional[Callable] = None,
     ):
+        """``cond_embed(params, x_cond) -> u_cond`` +
+        ``model_apply_ucond(params, x, t, u_cond)``: optional fast path that
+        hoists the loop-invariant conditioning projection out of the T-step
+        sampling scan (the reference recomputes it every step,
+        `base.py:243-255`)."""
         assert diffusion_activation in ("identity", "tanh")
         self.process = process
         self.model_apply = model_apply
+        self.cond_embed = cond_embed
+        self.model_apply_ucond = model_apply_ucond
         self.channels = channels
         self.seq_length = latent_size
         self.activation = diffusion_activation
@@ -171,13 +180,23 @@ class GaussianDiffusion:
         img = start_noise
         batch = shape[0]
 
+        # hoist the conditioning projection out of the scan when supported
+        u_cond = None
+        if self.cond_embed is not None and self.model_apply_ucond is not None and x_cond is not None:
+            u_cond = self.cond_embed(params, x_cond)
+
         def step(carry, t):
             img, = carry
-            # per-batch t only for the model's time embedding; the process
-            # coefficient lookups use the SCALAR t (one [N,N] table slice
-            # instead of a gathered [B,N,N] batch of identical matrices)
-            tb = jnp.full((batch,), t, dtype=jnp.int32)
-            model_output = self.feed_model(params, img, tb, x_cond)
+            # scalar t throughout: the time embedding broadcasts and the
+            # process coefficient lookups use one [N,N] table slice instead
+            # of a gathered [B,N,N] batch of identical matrices
+            if u_cond is not None:
+                model_output = self.model_apply_ucond(params, img, t, u_cond)
+                if self.activation == "tanh":
+                    model_output = jnp.tanh(model_output)
+            else:
+                tb = jnp.full((batch,), t, dtype=jnp.int32)
+                model_output = self.feed_model(params, img, tb, x_cond)
             if self.objective == "pred_x0":
                 x_start = model_output
             elif self.objective == "pred_noise":

@@ -116,6 +116,12 @@ def create_diffusion(
     else:
         raise NotImplementedError(diffusion_type)
 
+    arch = diffusion_arch or {}
+    can_hoist_cond = (
+        diffusion_conditioning
+        and not arch.get("self_condition", False)
+        and getattr(model, "node_major", True)
+    )
     engine = GaussianDiffusion(
         process,
         lambda params, x, t, x_cond: model.apply(params, x, t, x_cond),
@@ -125,5 +131,13 @@ def create_diffusion(
         diffusion_conditioning=diffusion_conditioning,
         sampling_timesteps=sampling_timesteps,
         ddim_sampling_eta=ddim_sampling_eta,
+        cond_embed=(
+            (lambda params, xc: model.apply(params, xc, method=Denoiser.cond_embedding))
+            if can_hoist_cond else None
+        ),
+        model_apply_ucond=(
+            (lambda params, x, t, u: model.apply(params, x, t, u_cond=u))
+            if can_hoist_cond else None
+        ),
     )
     return engine, model

@@ -50,8 +50,33 @@ class Denoiser(nn.Module):
     # weight casts inside the network; params and outputs stay float32
     compute_dtype: str = None
 
+    def setup(self):
+        diffusion_size = self.dim + self.cond_dim
+        input_dim = self.dim * (2 if self.self_condition else 1) + self.cond_dim
+        self.init_lin = StaticGraphLinear(
+            input_dim, diffusion_size, num_nodes=self.channels,
+            node_types=self.node_types, learn_influence=self.learn_influence,
+            node_major=self.node_major, compute_dtype=self.compute_dtype,
+        )
+
+    def cond_embedding(self, x_cond: Array) -> Array:
+        """Hoist the conditioning half of the input projection: the sampling
+        loop calls the denoiser T times with the SAME ``x_cond``
+        (`base.py:243-255`), so its weight product is loop-invariant.
+        Returns the node-major partial product to pass as ``u_cond``.
+        Requires node_major and no self-conditioning."""
+        assert self.node_major and not self.self_condition
+        xc = jnp.swapaxes(x_cond, 0, 1)
+        return self.init_lin(xc, mode="partial", input_offset=0)
+
     @nn.compact
-    def __call__(self, x: Array, time: Array, x_cond: Optional[Array] = None) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        time: Array,
+        x_cond: Optional[Array] = None,
+        u_cond: Optional[Array] = None,
+    ) -> Array:
         num_nodes = self.channels
         diffusion_size = self.dim + self.cond_dim
         input_dim = self.dim * (2 if self.self_condition else 1) + self.cond_dim
@@ -62,20 +87,30 @@ class Denoiser(nn.Module):
             compute_dtype=self.compute_dtype,
         )
 
-        if self.self_condition:
-            # self-conditioning input defaults to zeros (`generator.py:88-90`)
-            x = jnp.concatenate([jnp.zeros_like(x), x], axis=-1)
-        if x_cond is not None:
-            x = jnp.concatenate([x_cond, x], axis=-1)
-        if self.node_major:
-            x = jnp.swapaxes(x, 0, 1)  # [B,N,F] → [N,B,F]
-        if self.compute_dtype:
-            x = x.astype(jnp.dtype(self.compute_dtype))
-
-        x = StaticGraphLinear(input_dim, diffusion_size, name="init_lin", **common)(x)
+        if u_cond is not None:
+            # precomputed conditioning product (see ``cond_embedding``)
+            assert x_cond is None and not self.self_condition and self.node_major
+            x = jnp.swapaxes(x, 0, 1)
+            if self.compute_dtype:
+                x = x.astype(jnp.dtype(self.compute_dtype))
+            x = self.init_lin(x, input_offset=self.cond_dim, partial_in=u_cond)
+        else:
+            if self.self_condition:
+                # self-conditioning input defaults to zeros (`generator.py:88-90`)
+                x = jnp.concatenate([jnp.zeros_like(x), x], axis=-1)
+            if x_cond is not None:
+                x = jnp.concatenate([x_cond, x], axis=-1)
+            if self.node_major:
+                x = jnp.swapaxes(x, 0, 1)  # [B,N,F] → [N,B,F]
+            if self.compute_dtype:
+                x = x.astype(jnp.dtype(self.compute_dtype))
+            x = self.init_lin(x)
         r = x
 
-        # time embedding MLP (`generator.py:50-55`); GELU is torch-exact (erf)
+        # time embedding MLP (`generator.py:50-55`); GELU is torch-exact (erf).
+        # A scalar ``time`` (sampling: one t for the whole batch) yields a
+        # [1, time_dim] embedding that broadcasts in the FiLM layers.
+        time = jnp.atleast_1d(jnp.asarray(time))
         t = sinusoidal_pos_emb(time, diffusion_size, self.sinusoidal_pos_emb_theta)
         t = nn.Dense(time_dim, kernel_init=torch_linear_weight(diffusion_size),
                      bias_init=torch_linear_weight(diffusion_size), name="time_mlp0")(t)

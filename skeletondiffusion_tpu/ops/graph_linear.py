@@ -77,7 +77,19 @@ class StaticGraphLinear(nn.Module):
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16'; params stay fp32
 
     @nn.compact
-    def __call__(self, x: Array, g: Optional[Array] = None) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        g: Optional[Array] = None,
+        mode: str = "full",
+        input_offset: int = 0,
+        partial_in: Optional[Array] = None,
+    ) -> Array:
+        """``mode='partial'`` returns only the weight product of an input
+        SLICE (columns ``input_offset:input_offset+x.shape[-1]``) without
+        bias/G — used to hoist loop-invariant inputs (e.g. the diffusion
+        conditioning) out of sampling loops; the hoisted product re-enters a
+        later 'full' call via ``partial_in``."""
         n_types = 1 if self.node_types is None else int(np.max(self.node_types)) + 1
         type_index = (
             np.zeros(self.num_nodes, dtype=np.int32)
@@ -92,6 +104,11 @@ class StaticGraphLinear(nn.Module):
         if cdt is not None:
             weight = weight.astype(cdt)
             x = x.astype(cdt)
+        if input_offset or x.shape[-1] != self.in_features:
+            weight = weight[:, input_offset : input_offset + x.shape[-1], :]
+        if mode == "partial":
+            assert self.node_major, "partial mode is used on the node-major fast path"
+            return gmm_nm(x, weight[type_index])
         if g is None:
             if self.learn_influence:
                 G = self.param("G", lambda key: jnp.eye(self.num_nodes, dtype=jnp.float32))
@@ -103,6 +120,8 @@ class StaticGraphLinear(nn.Module):
 
         if self.node_major:
             out = gmm_nm(x, weight[type_index])
+            if partial_in is not None:
+                out = out + partial_in.astype(out.dtype)
             if self.use_bias:
                 bias = self.param(
                     "bias", graph_linear_bias(n_types, self.in_features, self.out_features)
