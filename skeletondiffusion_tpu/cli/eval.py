@@ -110,6 +110,26 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     else:
         raise NotImplementedError(method)
 
+    # FID: h36m test split only, needs the pretrained classifier checkpoint in
+    # the precomputed folder (reference `config_metrics.py:59,83-87`)
+    fid_params = None
+    if (
+        cfg.get("if_compute_fid")
+        and cfg.get("dataset_name") == "h36m"
+        and cfg.get("dataset_split", "test") == "test"
+    ):
+        clf_path = os.path.join(cfg["precomputed_folder"], "h36m_classifier.pth")
+        if os.path.exists(clf_path):
+            import torch
+
+            from ..metrics.fid import port_classifier
+
+            state = torch.load(clf_path, map_location="cpu")["model"]
+            sd = {k: v.numpy() for k, v in state.items()}
+            fid_params = {"params": port_classifier(sd)}
+        else:
+            print(f"if_compute_fid set but classifier missing at {clf_path}; skipping FID")
+
     timer = AverageTimer() if cfg.get("if_measure_time") else None
     store = None
     if cfg.get("if_store_output"):
@@ -131,6 +151,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
         store=store,
         timer=timer,
         ndebug=bool(int(os.environ.get("NDEBUG", "0"))),
+        fid_classifier_params=fid_params,
     )
     print(draw_table(results))
     if timer is not None:

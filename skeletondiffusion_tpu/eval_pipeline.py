@@ -208,9 +208,14 @@ def compute_metrics(
     timer: Optional[Any] = None,
     silent: bool = False,
     ndebug: bool = False,
+    fid_classifier_params: Optional[Any] = None,
     **config,
 ) -> Dict[str, float]:
-    """The eval loop; reference `eval.py:28-120` (``compute_metrics``)."""
+    """The eval loop; reference `eval.py:28-120` (``compute_metrics``).
+
+    ``fid_classifier_params``: flax params of the pretrained H36M action
+    classifier enables FID (reference `config_metrics.py:83-87` attaches it
+    for dataset=h36m on the test split)."""
     suite = MetricSuite(
         stats_mode=stats_mode,
         skeleton=skeleton,
@@ -220,6 +225,27 @@ def compute_metrics(
         mmapd_gt_path=mmapd_gt_path,
         if_consider_hip=skeleton.if_consider_hip,
     )
+    fid_acc = None
+    if fid_classifier_params is not None:
+        from .metrics.accumulators import FIDAccumulator
+        from .metrics.fid import ClassifierForFID
+
+        # h36m: 16 nodes × 3 = 48 features (`fid.py:81-83`)
+        clf = ClassifierForFID(input_size=skeleton.num_nodes * 3)
+        fid_acc = FIDAccumulator()
+
+        @jax.jit
+        def fid_feats(pred_m, target_m):
+            # [B,S,T,J,3] → [B·S, J·3, T]; [B,T,J,3] → [B, J·3, T]
+            # (reference `fid.py:108-119`)
+            B, S, T = pred_m.shape[:3]
+            p = pred_m.reshape(B * S, T, -1).transpose(0, 2, 1)
+            g = target_m.reshape(target_m.shape[0], T, -1).transpose(0, 2, 1)
+            h0p = jnp.zeros((clf.hidden_layer, p.shape[0], clf.hidden_size))
+            h0g = jnp.zeros((clf.hidden_layer, g.shape[0], clf.hidden_size))
+            fp = clf.apply(fid_classifier_params, p, h0p, method=ClassifierForFID.get_fid_features)
+            fg = clf.apply(fid_classifier_params, g, h0g, method=ClassifierForFID.get_fid_features)
+            return fp, fg
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=False, drop_last=False)
     rng = jax.random.key(seed)
     ph = pred_length or dataset.pred_length
@@ -255,6 +281,9 @@ def compute_metrics(
                 [dataset.class_to_idx[m[dataset.metadata_class_idx]] for m in batch["metadata"]]
             )
         suite.update(vals, class_idxs=class_idxs)
+        if fid_acc is not None:
+            fp, fg = fid_feats(pred_m, target_m)
+            fid_acc.update(np.asarray(fp), np.asarray(fg))
         if store is not None:
             store.append(np.asarray(pred_m), obs=np.asarray(obs_m), target=np.asarray(target_m))
         if timer is not None:
@@ -262,4 +291,11 @@ def compute_metrics(
             timer.stop()
         if ndebug:
             break
-    return suite.compute()
+    results = suite.compute()
+    if fid_acc is not None:
+        # Fréchet distance pred-vs-GT activations.  Deviation from the
+        # reference: the GRU's initial hidden is zeros here, where the
+        # reference draws a fresh torch.randn per call
+        # (`fid_classifier.py:56-57`) — ours is the deterministic variant.
+        results["FID"] = fid_acc.compute()
+    return results

@@ -115,6 +115,23 @@ def test_eval_probabilistic_runs(env):
     assert results["ADE"] > 0 and results["APD"] >= 0
 
 
+def test_fid_in_eval_loop(env):
+    import jax.numpy as jnp
+
+    from skeletondiffusion_tpu.metrics.fid import ClassifierForFID
+
+    root, skeleton, dataset = env
+    # 21-node pose → 63 features
+    clf = ClassifierForFID(input_size=63)
+    params = clf.init(jax.random.key(0), jnp.zeros((2, 63, PRED)), jnp.zeros((2, 2, 128)))
+    predictor = ZeroVelocityPredictor(skeleton, num_samples=2, pred_length=PRED)
+    results = compute_metrics(
+        predictor, dataset, skeleton, batch_size=8, num_samples=2,
+        stats_mode="deterministic", fid_classifier_params=params,
+    )
+    assert "FID" in results and np.isfinite(results["FID"])
+
+
 def test_zero_velocity_baseline(env):
     root, skeleton, dataset = env
     predictor = ZeroVelocityPredictor(skeleton, num_samples=4, pred_length=PRED)
