@@ -90,8 +90,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     cfg = flatten_config(load_config(config_dir, argv))
 
     skeleton = build_skeleton(cfg)
+    split = cfg.get("dataset_split", "test")
+    loader_key = f"data_loader_{split}"
+    if loader_key not in cfg:
+        loader_key = "data_loader_test"
     dataset = build_dataset(
-        cfg, skeleton, cfg.get("dataset_split", "test"), "data_loader_test",
+        cfg, skeleton, split, loader_key,
         if_long_term_test=cfg.get("if_long_term_test", False),
         long_term_factor=cfg.get("long_term_factor", 2.5),
         if_compute_cmd=cfg.get("if_compute_cmd", False),
