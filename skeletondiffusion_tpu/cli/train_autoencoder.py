@@ -16,6 +16,7 @@ import jax
 import numpy as np
 
 from ..data import DataLoader
+from ..data.batch import prefetch_iterator
 from ..metrics.multimodal import ade, fde, mpjpe
 from ..parallel import replicate, shard_batch
 from ..train.checkpoint import CheckpointManager, load_host_state, save_host_state
@@ -93,7 +94,7 @@ def train(cfg: Dict) -> str:
         trainer.epoch_started(epoch)
         ek = epoch_key(root_key, epoch)
         losses = []
-        for it, batch in enumerate(loader):
+        for it, batch in enumerate(prefetch_iterator(loader)):
             if it >= iter_per_epoch:
                 break
             k = iteration_key(ek, it)

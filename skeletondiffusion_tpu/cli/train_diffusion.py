@@ -16,6 +16,7 @@ import numpy as np
 import yaml
 
 from ..data import DataLoader
+from ..data.batch import prefetch_iterator
 from ..diffusion.manager import create_diffusion
 from ..metrics.body_realism import limb_length_variance
 from ..metrics.multimodal import ade, apd, mpjpe
@@ -141,7 +142,7 @@ def train(cfg: Dict) -> str:
         trainer.epoch_started(epoch)
         ek = epoch_key(root_key, epoch)
         losses = []
-        for it, batch in enumerate(loader):
+        for it, batch in enumerate(prefetch_iterator(loader)):
             if it >= iter_per_epoch:
                 break
             k = iteration_key(ek, it)

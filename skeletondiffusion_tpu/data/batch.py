@@ -123,6 +123,33 @@ def collate(batch_items: List[Tuple], max_mmgt: int = 0) -> Dict[str, np.ndarray
     return out
 
 
+def prefetch_iterator(iterable, prefetch: int = 2):
+    """Run the (host-side) batch construction in a background thread so the
+    single host core overlaps collate with device compute — the TPU-side
+    replacement for the reference's CPU dataloader workers
+    (`src/train_utils.py:25-32`)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
 class DataLoader:
     """Minimal epoch iterator: shuffle, batch, collate, optional pad-to-full
     final batch (static shapes).  Replaces torch DataLoader + workers — with

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .data.batch import DataLoader, preprocess_batch
+from .data.batch import DataLoader, prefetch_iterator, preprocess_batch
 from .metrics.suite import MetricSuite
 from .models.autoencoder import AutoEncoder
 
@@ -254,7 +254,7 @@ def compute_metrics(
         lambda obs, pred, mm: preprocess_batch(skeleton, jax.random.key(0), obs, pred, mm, train=False)
     )
 
-    for b_i, batch in enumerate(loader):
+    for b_i, batch in enumerate(prefetch_iterator(loader)):
         if timer is not None:
             timer.start()
         rng, k = jax.random.split(rng)
