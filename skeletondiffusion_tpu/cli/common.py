@@ -5,12 +5,11 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
-import numpy as np
 
-from ..data import DATASET_CLASSES, DataLoader
+from ..data import DATASET_CLASSES
 from ..data.batch import preprocess_batch
 from ..models import AutoEncoder
 from ..parallel import create_mesh, maybe_initialize_distributed

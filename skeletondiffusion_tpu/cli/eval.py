@@ -23,12 +23,9 @@ from ..eval_pipeline import (
     compute_metrics,
 )
 from ..metrics.suite import draw_table
-from ..models import AutoEncoder
 from ..train.checkpoint import CheckpointManager
-from ..train.trainer_diffusion import DiffTrainState
-from ..train.ema import EMAState
 from ..utils import AverageTimer, ResultStorer, flatten_config, load_config
-from .common import build_autoencoder, build_dataset, build_skeleton
+from .common import build_dataset, build_skeleton
 from .train_diffusion import load_frozen_autoencoder
 
 

@@ -40,7 +40,6 @@ from .common import (
     make_train_preprocess,
     setup_mesh,
 )
-from .train_autoencoder import AutoEncoderTrainer
 
 
 def load_frozen_autoencoder(cfg: Dict, skeleton):

@@ -13,7 +13,7 @@ from __future__ import annotations
 import ast
 import json
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -9,8 +9,7 @@ pairs.
 from __future__ import annotations
 
 import json
-import os
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Set
 
 import numpy as np
 

@@ -11,8 +11,6 @@ from typing import Dict
 
 import numpy as np
 
-from .smplh import SMPLHJoints
-
 # 3DPW's left/right limb order is inverted vs AMASS (`create_3dpw_dataset.py:84-87`)
 LR_SWAP_24 = [0, 2, 1, 3, 5, 4, 6, 8, 7, 9, 11, 10, 12, 14, 13, 15, 17, 16, 19, 18, 21, 20, 22, 23]
 

@@ -21,8 +21,6 @@ TPU-native re-design of the reference's ``LatentDiffusion`` /
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

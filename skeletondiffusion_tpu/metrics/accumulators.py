@@ -7,7 +7,7 @@ accumulate host scalars/arrays between batches.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ XLA to materialize [B, H·C, N]-layout copies of the 0.8 GB qkv tensors
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

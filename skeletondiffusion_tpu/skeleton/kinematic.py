@@ -10,7 +10,7 @@ h36m,freeman}.py`), re-expressed host-side in numpy with the hot paths
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ tensor).
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

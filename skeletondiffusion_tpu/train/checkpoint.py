@@ -11,10 +11,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 
