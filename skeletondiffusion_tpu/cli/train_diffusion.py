@@ -67,6 +67,9 @@ def train(cfg: Dict) -> str:
     save_config(cfg, os.path.join(out_dir, "config.yaml"))
     logger = MetricsLogger(out_dir)
 
+    from ..utils.debug import configure_debug
+
+    configure_debug(cfg.get("if_debug_nans", False), cfg.get("if_enable_checks", False))
     root_key = set_seed(cfg["seed"])
     skeleton = build_skeleton(cfg)
     mesh = setup_mesh(cfg)

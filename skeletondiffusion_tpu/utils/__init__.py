@@ -1,5 +1,6 @@
 """Cross-cutting utils (LX): config, reproducibility, logging, storage,
 torch-checkpoint porting."""
+from .debug import configure_debug, profile_trace
 from .config import (
     flatten_config,
     load_and_merge_autoenc_cfg,
@@ -12,8 +13,8 @@ from .store import ResultStorer
 from .torch_port import port_autoencoder, port_denoiser
 
 __all__ = [
-    "AverageTimer", "MetricsLogger", "ResultStorer", "epoch_key",
+    "AverageTimer", "MetricsLogger", "ResultStorer", "configure_debug", "epoch_key",
     "flatten_config", "iteration_key", "load_and_merge_autoenc_cfg",
-    "load_config", "port_autoencoder", "port_denoiser", "save_config",
+    "load_config", "port_autoencoder", "port_denoiser", "profile_trace", "save_config",
     "set_seed",
 ]
