@@ -209,13 +209,21 @@ def compute_metrics(
     silent: bool = False,
     ndebug: bool = False,
     fid_classifier_params: Optional[Any] = None,
+    mesh: Optional[Any] = None,
     **config,
 ) -> Dict[str, float]:
     """The eval loop; reference `eval.py:28-120` (``compute_metrics``).
 
     ``fid_classifier_params``: flax params of the pretrained H36M action
     classifier enables FID (reference `config_metrics.py:83-87` attaches it
-    for dataset=h36m on the test split)."""
+    for dataset=h36m on the test split).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — batches are sharded over the
+    'data' axis and the model runs data-parallel across chips (the reference
+    covers multi-GPU eval with ``torch.nn.DataParallel``,
+    `eval_prepare_model.py:79-80`; here it is GSPMD).  Full batches must be
+    divisible by the data-axis size; the final partial batch falls back to
+    single-device."""
     suite = MetricSuite(
         stats_mode=stats_mode,
         skeleton=skeleton,
@@ -254,12 +262,31 @@ def compute_metrics(
         lambda obs, pred, mm: preprocess_batch(skeleton, jax.random.key(0), obs, pred, mm, train=False)
     )
 
+    if mesh is not None:
+        from .parallel import replicate
+
+        for attr in ("ae_params", "diff_params"):
+            if getattr(predictor, attr, None) is not None:
+                setattr(predictor, attr, replicate(mesh, getattr(predictor, attr)))
+
     for b_i, batch in enumerate(prefetch_iterator(loader)):
         if timer is not None:
             timer.start()
         rng, k = jax.random.split(rng)
         mm_raw = batch.get("mm_gt")
-        obs, target, mm_gt = transform(batch["obs"], batch["pred"], mm_raw)
+        if mesh is not None and batch["obs"].shape[0] % mesh.shape["data"] == 0:
+            from .parallel import shard_batch
+
+            batch_dev = {
+                key: shard_batch(mesh, batch[key])
+                for key in ("obs", "pred", "mm_gt", "mm_mask")
+                if batch.get(key) is not None
+            }
+        else:
+            batch_dev = batch
+        obs, target, mm_gt = transform(
+            batch_dev["obs"], batch_dev["pred"], batch_dev.get("mm_gt")
+        )
 
         if if_long_term_test:
             target_m, pred_m = long_term_prediction_best_every50(
@@ -274,7 +301,7 @@ def compute_metrics(
                 skeleton, target, pred, obs, mm_gt
             )
 
-        vals = suite.compute_batch(pred_m, target_m, mm_gt=mm_m, mm_mask=batch.get("mm_mask"))
+        vals = suite.compute_batch(pred_m, target_m, mm_gt=mm_m, mm_mask=batch_dev.get("mm_mask"))
         class_idxs = None
         if if_compute_cmd:
             class_idxs = np.asarray(

@@ -86,3 +86,42 @@ def test_data_model_mesh_runs():
     xb, yb = shard_batch(mesh, x), shard_batch(mesh, y)
     state, loss = trainer.train_step(state, jax.random.key(9), (xb, yb))
     assert np.isfinite(float(loss))
+
+
+def test_multi_device_eval_matches_single(tmp_path):
+    """compute_metrics with a mesh shards batches over 'data' and must give
+    the same metric values as single-device."""
+    import os
+
+    import pandas as pd
+
+    from skeletondiffusion_tpu.data import AMASSDataset
+    from skeletondiffusion_tpu.eval_pipeline import ZeroVelocityPredictor, compute_metrics
+    from skeletondiffusion_tpu.skeleton import create_skeleton
+
+    OBS, PRED, J = 5, 8, 22
+    root = str(tmp_path)
+    rng = np.random.default_rng(0)
+    positions = {"DFaust": {0: rng.standard_normal((80, J, 3)).astype(np.float32) * 0.3}}
+    np.savez(os.path.join(root, "data_3d_amass.npz"), positions_3d=positions)
+    rows = [{"dataset": "DFaust", "file": "f0", "file_idx": 0, "pred_init": i,
+             "pred_end": i + PRED - 1} for i in range(OBS, 80 - PRED, 4)]
+    pd.DataFrame(rows).to_csv(os.path.join(root, "segments_test.csv"), index=False)
+
+    sk = create_skeleton(dataset_name="amass", motion_repr_type="SkeletonRescalePose",
+                         num_joints=J, pose_box_size=1.5, obs_length=OBS, pred_length=PRED,
+                         if_consider_hip=False)
+    ds = AMASSDataset(datasets=["DFaust"], split="test", precomputed_folder=root,
+                      skeleton=sk, obs_length=OBS, pred_length=PRED,
+                      segments_path=os.path.join(root, "segments_test.csv"),
+                      if_consider_hip=False, silent=True)
+    predictor = ZeroVelocityPredictor(sk, num_samples=2, pred_length=PRED)
+    single = compute_metrics(predictor, ds, sk, batch_size=8, num_samples=2,
+                             stats_mode="deterministic")
+    from skeletondiffusion_tpu.parallel import create_mesh
+
+    mesh = create_mesh(8, model_parallel=1)
+    multi = compute_metrics(predictor, ds, sk, batch_size=8, num_samples=2,
+                            stats_mode="deterministic", mesh=mesh)
+    for key in single:
+        np.testing.assert_allclose(single[key], multi[key], rtol=1e-5, err_msg=key)
