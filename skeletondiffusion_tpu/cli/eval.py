@@ -25,7 +25,7 @@ from ..eval_pipeline import (
 from ..metrics.suite import draw_table
 from ..train.checkpoint import CheckpointManager
 from ..utils import AverageTimer, ResultStorer, flatten_config, load_config
-from .common import build_dataset, build_skeleton
+from .common import build_dataset, build_skeleton, setup_mesh
 from .train_diffusion import load_frozen_autoencoder
 
 
@@ -87,6 +87,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     cfg = flatten_config(load_config(config_dir, argv))
 
     skeleton = build_skeleton(cfg)
+    mesh = setup_mesh(cfg)
     split = cfg.get("dataset_split", "test")
     loader_key = f"data_loader_{split}"
     if loader_key not in cfg:
@@ -153,6 +154,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
         timer=timer,
         ndebug=bool(int(os.environ.get("NDEBUG", "0"))),
         fid_classifier_params=fid_params,
+        mesh=mesh,
     )
     print(draw_table(results))
     if timer is not None:
