@@ -32,7 +32,12 @@ from .train_diffusion import load_frozen_autoencoder
 def prepare_model(cfg: Dict, skeleton):
     """Load AE + diffusion checkpoints into a predictor; reference
     `src/eval_prepare_model.py:54-85`."""
-    exp_dir = cfg["checkpoint_path"]
+    exp_dir = cfg.get("checkpoint_path") or ""
+    assert exp_dir and os.path.isdir(exp_dir), (
+        "checkpoint_path must point to a trained experiment directory "
+        f"(containing config.yaml + checkpoints/); got {exp_dir!r}. "
+        "Pass it as: python eval.py checkpoint_path=<exp_dir> …"
+    )
     with open(os.path.join(exp_dir, "config.yaml")) as f:
         train_cfg = yaml.safe_load(f)
     # stored training config merges UNDER the current eval config

@@ -40,6 +40,10 @@ class CheckpointManager:
         name = f"{tag}_{step}"
         path = os.path.join(self.directory, name)
         self._ckpt.save(path, state, force=True)
+        # Orbax saves asynchronously; without this barrier a process exiting
+        # right after training leaves .orbax-checkpoint-tmp corpses and a
+        # "cannot schedule new futures after interpreter shutdown" error
+        self._ckpt.wait_until_finished()
         self._index.append({"name": name, "step": step, "score": score})
         if score is not None:
             scored = [e for e in self._index if e["score"] is not None]
@@ -53,6 +57,7 @@ class CheckpointManager:
         prev = [e for e in self._index if e["name"].startswith("latest")]
         name = f"latest_{step}"
         self._ckpt.save(os.path.join(self.directory, name), state, force=True)
+        self._ckpt.wait_until_finished()
         self._index.append({"name": name, "step": step, "score": None})
         for e in prev:
             self._remove(e)
