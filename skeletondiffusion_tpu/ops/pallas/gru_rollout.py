@@ -1,26 +1,25 @@
 """Pallas TPU kernel: fused graph-GRU decode rollout.
 
-STATUS: numerically verified in interpret mode (matches the flax decoder to
-1e-5); on-TPU compilation currently fails in Mosaic's layout inference
-("unsupported shape cast") on the [N,bt,3H]→[N,bt·3H] views used to express
-the influence-matrix mix as a single MXU dot.  Lane-preserving layout
-redesign (pad H to 128 and keep the mix operand 2D from construction) is the
-planned fix; until then the XLA node-major decode path is the default.
-
 The decoder unrolls up to 120 sequential graph-GRU steps with a CONSTANT
 input (reference `src/core/network/nn/decoder.py:85-104`).  Under XLA each
-step is a chain of dot kernels whose [N,B,H] activations round-trip through
-HBM — ~36+ GB of traffic for the AMASS eval shapes.  This kernel runs the
-ENTIRE rollout for a batch tile inside VMEM: the hidden state, the evolving
-influence matrix G ← l1norm(G + ΔG), the per-node weight banks and the
-output head never leave the chip; only the [ph,N,bt,3] pose outputs are
-written back.
+step is a chain of dot kernels whose [N,B,·] activations round-trip through
+HBM.  This kernel runs the ENTIRE rollout for a batch tile inside VMEM: the
+hidden state, the evolving influence matrix G ← l1norm(G + ΔG), the per-node
+weight banks and the output head never leave the chip; only the per-step
+[N,8,bt] pose staging (rows 0..2 = x/y/z) is DMA'd back to the [ph,N,8,B]
+HBM output, sliced/transposed to [B,ph,N,3] outside the kernel.
 
-Layout/grid: grid over batch tiles; per tile
-  x-side gate pre-activations c_x = x·W_ih + b_ih  [N, bt, 3H]  (loop
-  invariant — computed once by XLA outside the kernel)
-  h0 [N, bt, H], W_hh [N, H, 3H], b_hh [N, 3H], G/ΔG [N, N],
-  W_fc [N, H, 3→padded], b_fc, G_fc → out [ph, N, bt, 3].
+Mosaic layout rules shape the design (measured on this toolchain):
+* rank-3 ``dot_general`` is unsupported → per-node feature-major
+  [Hp,Hp]·[Hp,bt] dots are unrolled over the (≤51) nodes, and the influence
+  mix G·gates runs as an [N,N]×[N, Hp·bt] MXU dot — one per gate block
+  (r/z/n processed sequentially to fit the 16 MB scoped-VMEM budget);
+* reshapes merging the sublane into the lane dim are only legal when the
+  lane dim is a multiple of 128 → the hidden/gate/feature dims are
+  ZERO-PADDED to 128-lane boundaries (H 96→128, per-gate blocks at
+  0/128/256, fc output 3→128).  The padding provably stays zero through the
+  recurrence: gates in the pad region are σ(0)=½ and tanh(0)=0, giving
+  h_pad' = 0 − 0·½ + ½·0 = 0.
 """
 from __future__ import annotations
 
@@ -35,6 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
+LANE = 128
+
 
 def _l1norm_rows(g):
     norm = jnp.clip(jnp.sum(jnp.abs(g), axis=1, keepdims=True), 1e-12, None)
@@ -42,96 +43,138 @@ def _l1norm_rows(g):
 
 
 def _rollout_kernel(
-    cx_ref,      # [N, bt, 3H] input-side gates (G-unmixed)
-    h0_ref,      # [N, bt, H]
-    whh_ref,     # [N, H, 3H]
-    bhh_ref,     # [N, 3H]
-    g0_ref,      # [N, N] (already row-normalized)
+    cx_ref,      # [N, 3·Hp, B] in HBM (tile DMA'd once — single-buffered to
+                 # fit the 16 MB VMEM budget), padded, feature-major
+    h0_ref,      # [N, Hp, B] in HBM
+    whhT_ref,    # [N, 3·Hp, Hp]  (transposed weights: gates = W^T·h)
+    bhh_ref,     # [N, 3·Hp]
+    g0_ref,      # [N, N] (row-normalized)
     gadd_ref,    # [N, N]
-    wfc_ref,     # [N, H, F_out]
-    bfc_ref,     # [N, F_out]
-    gfc_ref,     # [N, N] (already row-normalized)
-    out_ref,     # [ph, N, bt, F_out]
-    h_scr,       # VMEM [N, bt, H]
+    wfcT_ref,    # [N, Fp, Hp]
+    bfc_ref,     # [N, Fp]
+    gfc_ref,     # [N, N] (row-normalized)
+    out_ref,     # [ph, N, 8, B] in HBM — rows 0..2 are x/y/z, rows 3..7 pad
+                 # (8-sublane staging keeps every DMA slice tile-aligned)
+    h_scr,       # VMEM [N, Hp, bt]
     g_scr,       # VMEM [N, N]
+    hw_scr,      # VMEM [N, Hp, bt] (one gate block at a time)
+    y_scr,       # VMEM [N, Fp, bt]
+    stage_scr,   # VMEM [N, 8, bt] DMA staging
+    cx_scr,      # VMEM [N, 3·Hp, bt]
+    r_scr,       # VMEM [N, Hp, bt]
+    z_scr,       # VMEM [N, Hp, bt]
+    dma_sem,     # DMA semaphore
     *,
     ph: int,
     num_nodes: int,
-    hidden: int,
+    hidden_pad: int,
+    f_out: int,
+    batch_tile: int,
 ):
-    N, H = num_nodes, hidden
-    bt = h0_ref.shape[1]
-    h_scr[...] = h0_ref[...]
-    g_scr[...] = g0_ref[...]
+    N, Hp = num_nodes, hidden_pad
+    bt = batch_tile
+    Fp = wfcT_ref.shape[1]
+    tile = pl.program_id(0)
 
-    cx = cx_ref[...]
-    whh = whh_ref[...]
-    bhh = bhh_ref[...]
-    gadd = gadd_ref[...]
-    wfc = wfc_ref[...]
-    bfc = bfc_ref[...]
-    gfc = gfc_ref[...]
+    # tile loads: single-buffered manual DMAs from HBM
+    cp_cx = pltpu.make_async_copy(
+        cx_ref.at[:, :, pl.ds(tile * bt, bt)], cx_scr, dma_sem
+    )
+    cp_cx.start()
+    cp_cx.wait()
+    cp_h = pltpu.make_async_copy(
+        h0_ref.at[:, :, pl.ds(tile * bt, bt)], h_scr, dma_sem
+    )
+    cp_h.start()
+    cp_h.wait()
+    g_scr[...] = g0_ref[...]
 
     def step(t, _):
         h = h_scr[...]
         g = g_scr[...]
 
-        # per-node h·W_hh (N unrolled MXU dots) + bias
-        hw = jnp.stack(
-            [
-                jax.lax.dot_general(
-                    h[n], whh[n], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        # process one gate block (r, z, n) at a time to keep the VMEM stack
+        # small: per-node W_hhᵀ·h dots into scratch, then ONE [N,N]·[N,Hp·bt]
+        # influence-mix dot per side
+        def gate_block(gate):
+            lo = gate * Hp
+            for n in range(N):
+                hw_scr[n] = (
+                    jax.lax.dot_general(
+                        whhT_ref[n, lo : lo + Hp, :], h[n], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + bhh_ref[n, lo : lo + Hp][:, None]
                 )
-                for n in range(N)
-            ],
-            axis=0,
-        ) + bhh[:, None, :]
+            hg = jax.lax.dot_general(
+                g, hw_scr[...].reshape(N, Hp * bt), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(N, Hp, bt)
+            xg = jax.lax.dot_general(
+                g, cx_scr[:, lo : lo + Hp, :].reshape(N, Hp * bt), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(N, Hp, bt)
+            return xg, hg
 
-        # influence mix on both gate stacks: [N,N] @ [N, bt·3H]
-        def gmix(x):
-            flat = x.reshape(N, bt * 3 * H)
-            return jax.lax.dot_general(
-                g, flat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ).reshape(N, bt, 3 * H)
-
-        xg = gmix(cx)
-        hg = gmix(hw)
-
-        i_r, i_z, i_n = xg[..., :H], xg[..., H : 2 * H], xg[..., 2 * H :]
-        h_r, h_z, h_n = hg[..., :H], hg[..., H : 2 * H], hg[..., 2 * H :]
-        r = jax.nn.sigmoid(i_r + h_r)
-        z = jax.nn.sigmoid(i_z + h_z)
-        n_ = jnp.tanh(i_n + r * h_n)
+        xr, hr = gate_block(0)
+        r_scr[...] = jax.nn.sigmoid(xr + hr)
+        xz, hz = gate_block(1)
+        z_scr[...] = jax.nn.sigmoid(xz + hz)
+        xn, hn = gate_block(2)
+        n_ = jnp.tanh(xn + r_scr[...] * hn)
+        z = z_scr[...]
         hy = n_ - n_ * z + z * h
 
         # output head: per-node fc + constant G_fc mix + tanh
-        y = jnp.stack(
-            [
+        for n in range(N):
+            y_scr[n] = (
                 jax.lax.dot_general(
-                    hy[n], wfc[n], (((1,), (0,)), ((), ())),
+                    wfcT_ref[n], hy[n], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                for n in range(N)
-            ],
-            axis=0,
-        ) + bfc[:, None, :]
-        F_out = y.shape[-1]
+                + bfc_ref[n][:, None]
+            )
         y = jax.lax.dot_general(
-            gfc, y.reshape(N, bt * F_out), (((1,), (0,)), ((), ())),
+            gfc_ref[...], y_scr[...].reshape(N, Fp * bt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(N, bt, F_out)
-        out_ref[t] = jnp.tanh(y)
+        ).reshape(N, Fp, bt)
+        stage_scr[...] = jnp.tanh(y[:, :8, :])
+        cp = pltpu.make_async_copy(
+            stage_scr, out_ref.at[t, :, :, pl.ds(tile * bt, bt)], dma_sem
+        )
+        cp.start()
+        cp.wait()
 
         h_scr[...] = hy
-        g_scr[...] = _l1norm_rows(g + gadd)
+        g_scr[...] = _l1norm_rows(g + gadd_ref[...])
         return ()
 
     jax.lax.fori_loop(0, ph, step, ())
 
 
+def _pad_gates_weight(w: np.ndarray, H: int, Hp: int) -> Array:
+    """[N, in, 3H] → [N, in_pad, 3Hp] with each gate block at a 128-aligned
+    column offset and zero rows for the padded input dims."""
+    N, d_in, _ = w.shape
+    in_pad = ((d_in + LANE - 1) // LANE) * LANE
+    out = jnp.zeros((N, in_pad, 3 * Hp), w.dtype)
+    for gate in range(3):
+        out = out.at[:, :d_in, gate * Hp : gate * Hp + H].set(
+            w[:, :, gate * H : (gate + 1) * H]
+        )
+    return out
+
+
+def _pad_gates_vec(b: Array, H: int, Hp: int) -> Array:
+    N = b.shape[0]
+    out = jnp.zeros((N, 3 * Hp), b.dtype)
+    for gate in range(3):
+        out = out.at[:, gate * Hp : gate * Hp + H].set(b[:, gate * H : (gate + 1) * H])
+    return out
+
+
 def gru_rollout_pallas(
-    cx: Array,        # [N, B, 3H]
+    cx: Array,        # [N, B, 3H] input-side gates (unpadded, batch-major)
     h0: Array,        # [N, B, H]
     w_hh: Array,      # [N, H, 3H]   (type banks pre-gathered per node)
     b_hh: Array,      # [N, 3H]
@@ -148,36 +191,65 @@ def gru_rollout_pallas(
     """Full rollout → [ph, N, B, F_out] (float32)."""
     N, B, threeH = cx.shape
     H = h0.shape[-1]
+    Hp = ((H + LANE - 1) // LANE) * LANE
     F_out = w_fc.shape[-1]
+    assert F_out <= 8, "output head is staged through an 8-sublane block"
+    Fp = LANE
     assert B % batch_tile == 0, (B, batch_tile)
     grid = (B // batch_tile,)
 
-    kernel = functools.partial(_rollout_kernel, ph=ph, num_nodes=N, hidden=H)
-    full = lambda i: (0, 0, 0)
-    return pl.pallas_call(
+    # pad to 128-aligned gate blocks and go feature-major [N, F, B]
+    cx_p = jnp.zeros((N, 3 * Hp, B), cx.dtype)
+    for gate in range(3):
+        cx_p = cx_p.at[:, gate * Hp : gate * Hp + H, :].set(
+            jnp.swapaxes(cx[..., gate * H : (gate + 1) * H], 1, 2)
+        )
+    h0_p = jnp.zeros((N, Hp, B), h0.dtype).at[:, :H, :].set(jnp.swapaxes(h0, 1, 2))
+    whhT_p = jnp.swapaxes(_pad_gates_weight(w_hh, H, Hp), 1, 2)  # [N, 3Hp, Hp]
+    bhh_p = _pad_gates_vec(b_hh, H, Hp)
+    wfcT_p = jnp.zeros((N, Fp, Hp), w_fc.dtype).at[:, :F_out, :H].set(
+        jnp.swapaxes(w_fc, 1, 2)
+    )
+    bfc_p = jnp.zeros((N, Fp), b_fc.dtype).at[:, :F_out].set(b_fc)
+
+    kernel = functools.partial(
+        _rollout_kernel, ph=ph, num_nodes=N, hidden_pad=Hp, f_out=F_out,
+        batch_tile=batch_tile,
+    )
+    full3 = lambda i: (0, 0, 0)
+    full2 = lambda i: (0, 0)
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((N, batch_tile, threeH), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, batch_tile, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, H, threeH), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, threeH), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, H, F_out), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, F_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((N, 3 * Hp, Hp), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 3 * Hp), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LANE, Hp), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LANE), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), full2, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (ph, N, batch_tile, F_out), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((ph, N, B, F_out), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((ph, N, 8, B), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((N, batch_tile, H), jnp.float32),
+            pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
             pltpu.VMEM((N, N), jnp.float32),
+            pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
+            pltpu.VMEM((N, LANE, batch_tile), jnp.float32),
+            pltpu.VMEM((N, 8, batch_tile), jnp.float32),
+            pltpu.VMEM((N, 3 * Hp, batch_tile), jnp.float32),
+            pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
+            pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(cx, h0, w_hh, b_hh, g0, g_add, w_fc, b_fc, g_fc)
+    )(cx_p, h0_p, whhT_p, bhh_p, g0, g_add, wfcT_p, bfc_p, g_fc)
+    # [ph, N, 8, B] → [ph, N, B, F_out]
+    return jnp.transpose(out[:, :, :F_out, :], (0, 1, 3, 2))
 
 
 def decode_rollout(
