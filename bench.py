@@ -71,7 +71,9 @@ def build():
     predictor = SkeletonDiffusionPredictor(
         skeleton, ae, ae_params, diffusion, dparams,
         num_samples=NUM_SAMPLES, pred_length=PRED_LEN,
-        use_fused_decode=bool(int(os.environ.get("BENCH_FUSED", "0"))),
+        use_fused_decode=(
+            bool(int(os.environ["BENCH_FUSED"])) if "BENCH_FUSED" in os.environ else None
+        ),
     )
 
     # full user-facing program: input-space obs → metric-space predictions

@@ -113,10 +113,21 @@ def train(cfg: Dict) -> str:
                            "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"],
                            "ph": ph})
 
-        if epoch % cfg.get("save_frequency", 50) == 0 or epoch == cfg["num_epochs"]:
-            score = None
-            if cfg.get("if_run_validation"):
-                score = -validate(cfg, skeleton, trainer, state, logger, epoch)
+        # reference runs BOTH eval engines every `eval_frequency` epochs:
+        # the valid split and a capped pass over the train split
+        # (`train_autoencoder.py:108-113`, `src/train_utils.py:56-96`)
+        score = None
+        if cfg.get("if_run_validation") and epoch % cfg.get(
+            "eval_frequency", cfg.get("save_frequency", 50)
+        ) == 0:
+            score = -validate(cfg, skeleton, trainer, state, logger, epoch)
+            validate(
+                cfg, skeleton, trainer, state, logger, epoch,
+                split="train", loader_key="data_loader_train_eval",
+                max_batches=cfg.get("num_iteration_eval") or None,
+                prefix="train_eval",
+            )
+        if score is not None or epoch % cfg.get("save_frequency", 50) == 0 or epoch == cfg["num_epochs"]:
             ckpt.save(state, step=epoch, score=score)
         ckpt.save_latest(state, step=epoch)
         host = {"epoch": epoch}
@@ -127,14 +138,20 @@ def train(cfg: Dict) -> str:
     return out_dir
 
 
-def validate(cfg, skeleton, trainer, state, logger, epoch) -> float:
-    """ADE/FDE/MPJPE on the validation split (metric space, S=1); reference
-    `src/train_utils.py:56-96`."""
-    dataset = build_dataset(cfg, skeleton, "valid", "data_loader_valid")
+def validate(cfg, skeleton, trainer, state, logger, epoch, split="valid",
+             loader_key="data_loader_valid", max_batches=None, prefix="valid") -> float:
+    """ADE/FDE/MPJPE on a split (metric space, S=1); reference
+    `src/train_utils.py:56-96` (same engine attached to the valid split and,
+    capped at ``num_iteration_eval`` batches, to the train split)."""
+    if loader_key not in cfg:
+        loader_key = "data_loader_valid"
+    dataset = build_dataset(cfg, skeleton, split, loader_key)
     loader = DataLoader(dataset, cfg["batch_size_eval"], shuffle=False)
     preprocess = make_eval_preprocess(skeleton)
     vals = {"ADE": [], "FDE": [], "MPJPE": []}
-    for batch in loader:
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
         obs_t, pred_t, _ = preprocess(jax.random.key(0), batch["obs"], batch["pred"])
         pred, y, x, z = trainer.validation_step(state, (obs_t, pred_t))
         pred_m = skeleton.transform_to_metric_space(pred)[:, None]
@@ -143,8 +160,8 @@ def validate(cfg, skeleton, trainer, state, logger, epoch) -> float:
         vals["FDE"].append(np.asarray(fde(y_m, pred_m)))
         vals["MPJPE"].append(np.asarray(mpjpe(y_m, pred_m)))
     results = {k: float(np.concatenate(v).mean()) for k, v in vals.items()}
-    logger.log(epoch, results, prefix="valid")
-    print(f"[epoch {epoch}] valid:", results)
+    logger.log(epoch, results, prefix=prefix)
+    print(f"[epoch {epoch}] {prefix}:", results)
     return results["MPJPE"]
 
 

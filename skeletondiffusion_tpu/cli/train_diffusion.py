@@ -156,9 +156,17 @@ def train(cfg: Dict) -> str:
         logger.log(epoch, {"loss": float(np.mean(losses)),
                            "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"]})
 
+        # reference runs BOTH eval engines every `eval_frequency` epochs
+        # (`train_diffusion.py:113-120`, `src/train_utils.py:97-137`)
         score = None
         if cfg.get("if_run_validation") and epoch % cfg.get("eval_frequency", 25) == 0:
             score = -validate(cfg, skeleton, trainer, state, logger, epoch)
+            validate(
+                cfg, skeleton, trainer, state, logger, epoch,
+                split="train", loader_key="data_loader_train_eval",
+                max_batches=cfg.get("num_iteration_eval") or None,
+                prefix="train_eval",
+            )
         if score is not None or epoch == cfg["num_epochs"]:
             ckpt.save(state, step=epoch, score=score)
         ckpt.save_latest(state, step=epoch)
@@ -170,14 +178,21 @@ def train(cfg: Dict) -> str:
     return out_dir
 
 
-def validate(cfg, skeleton, trainer, state, logger, epoch) -> float:
-    """Sample 50 with the EMA model, decode, APD/ADE/MPJPE; reference
-    `src/train_utils.py:97-137`."""
-    dataset = build_dataset(cfg, skeleton, "valid", "data_loader_valid")
+def validate(cfg, skeleton, trainer, state, logger, epoch, split="valid",
+             loader_key="data_loader_valid", max_batches=None, prefix="valid") -> float:
+    """Sample 50 with the EMA model, decode, APD/ADE/MPJPE on a split;
+    reference `src/train_utils.py:97-137` (same engine attached to the valid
+    split and, capped at ``num_iteration_eval`` batches, to the train
+    split)."""
+    if loader_key not in cfg:
+        loader_key = "data_loader_valid"
+    dataset = build_dataset(cfg, skeleton, split, loader_key)
     loader = DataLoader(dataset, cfg["batch_size_eval"], shuffle=False)
     preprocess = make_eval_preprocess(skeleton)
     vals = {"ADE": [], "APD": [], "MPJPE": [], "LLVar": []}
-    for batch in loader:
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
         obs_t, pred_t, _ = preprocess(jax.random.key(0), batch["obs"], batch["pred"])
         out, y, samples, x = trainer.validation_step(state, jax.random.key(epoch), (obs_t, pred_t))
         pred_m = skeleton.transform_to_metric_space(out)
@@ -189,8 +204,8 @@ def validate(cfg, skeleton, trainer, state, logger, epoch) -> float:
             np.atleast_1d(np.asarray(limb_length_variance(pred_m, skeleton.get_limbseq(), mode="mean")))
         )
     results = {k: float(np.concatenate(v).mean()) for k, v in vals.items()}
-    logger.log(epoch, results, prefix="valid")
-    print(f"[epoch {epoch}] valid:", results)
+    logger.log(epoch, results, prefix=prefix)
+    print(f"[epoch {epoch}] {prefix}:", results)
     return results["ADE"]
 
 

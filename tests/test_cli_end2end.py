@@ -63,6 +63,13 @@ def test_two_stage_training_and_eval(data_root, monkeypatch):
         "model.autoenc_arch.decoder_hidden_size=8",
         "model.curriculum_it=1",
         "model.save_frequency=2",
+        # both eval engines: valid split + capped train-split pass
+        "model.if_run_validation=True",
+        "model.eval_frequency=2",
+        "model.num_iteration_eval=1",
+        "model.batch_size_eval=4",
+        "dataset.data_loader_valid.datasets=[ACCAD]",
+        "dataset.data_loader_train_eval.datasets=[CMU]",
         "dataset.data_loader_train.datasets=[ACCAD, CMU]",
         "dataset.data_loader_train.stride=4",
         "dataset.data_loader_train.augmentation=2",
