@@ -140,4 +140,7 @@ def create_diffusion(
             if can_hoist_cond else None
         ),
     )
+    # expose the module so eval-time fast paths (fused Pallas denoiser,
+    # ops/pallas/denoiser_fused.py) can rebind model_apply_ucond
+    engine.denoiser_module = model
     return engine, model

@@ -12,6 +12,7 @@ for metrics.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -63,6 +64,42 @@ class SkeletonDiffusionPredictor:
                 is_gru = False
             use_fused_decode = is_gru and jax.default_backend() == "tpu"
         self.use_fused_decode = use_fused_decode
+        # fused Pallas denoiser blocks for the sampling loop (scalar-time,
+        # hoisted-conditioning path) — see ops/pallas/denoiser_fused.py
+        # measured perf-neutral vs XLA (171 vs 175 ms/fwd, batch 12800) until
+        # the attention core is fused too — opt-in for now
+        den = getattr(diffusion, "denoiser_module", None)
+        if (
+            os.environ.get("SKELDIFF_FUSED_DENOISER", "0") == "1"
+            and jax.default_backend() == "tpu"
+            and den is not None
+            and getattr(diffusion, "model_apply_ucond", None) is not None
+            and den.use_attention
+            and not den.self_condition
+            and getattr(den, "node_major", False)
+        ):
+            from .ops.pallas.denoiser_fused import (
+                fused_denoiser_apply,
+                prep_fused_denoiser,
+            )
+
+            # piggyback the one-time weight prep (node gathers, pads, casts)
+            # on the engine's pre-scan cond_embed hook: u_cond is opaque to
+            # the sampling loop, so ship {u, prep} through it and none of the
+            # prep re-executes per diffusion step
+            orig_cond_embed = diffusion.cond_embed
+            diffusion.cond_embed = lambda params, xc: {
+                "u": orig_cond_embed(params, xc),
+                "prep": prep_fused_denoiser(den, params),
+            }
+            diffusion.model_apply_ucond = (
+                lambda params, x, t, uc: fused_denoiser_apply(
+                    den, params, x, t, uc["u"], prepped=uc["prep"]
+                )
+            )
+            self.use_fused_denoiser = True
+        else:
+            self.use_fused_denoiser = False
         self._jit_predict = jax.jit(self._predict, static_argnames=("num_samples", "pred_length"))
 
     def _predict(self, ae_params, diff_params, rng, obs: Array, num_samples: int, pred_length: int):

@@ -1,0 +1,199 @@
+"""Fused-forward denoiser for the sampling path: flax param tree in, Pallas
+ResnetBlock kernels for the 2·depth main blocks, functional pad-aware
+attention in between.
+
+Functional mirror of ``models.denoiser.Denoiser.__call__`` on its hoisted-
+conditioning fast path (``u_cond``; reference call chain
+`src/core/diffusion/base.py:243-255` → `nn/generator.py:80-107`) — the shape
+of the computation is identical, only the execution strategy changes:
+
+* activations stay PADDED to Fp=256 features across the whole mid-section
+  (pad once after the input projection, slice once before the long skip) so
+  the per-block kernels do zero HBM pad/slice round-trips;
+* attention runs on the padded layout with zero-padded qkv/out weight banks
+  (zeros in, zeros out — the pad columns never contaminate real features);
+* all weight-side operands (node gathers, pads, casts, row-normalized Gs)
+  are precomputed ONCE per sampling call by ``prep_fused_denoiser`` — the
+  engine's ``cond_embed`` hook runs it before the scan, so none of it
+  re-executes per diffusion step.
+
+Eval/sampling only: scalar time, forward-only, no self-conditioning.
+Parity: ``tests/test_pallas_resnet.py::test_fused_denoiser_matches_flax``
+pins this forward to ``Denoiser.apply`` in interpret mode.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attention import ResnetBlock, sinusoidal_pos_emb
+from ..graph_linear import StaticGraphLinear, gmm_nm, gmix_nm, l1_normalize_rows
+from .resnet_block import (
+    _pad_last,
+    pad_film,
+    prep_resnet_params,
+    resnet_block_pallas_padded,
+)
+
+Array = jnp.ndarray
+
+
+def _type_index(den) -> np.ndarray:
+    return (
+        np.zeros(den.channels, dtype=np.int32)
+        if den.node_types is None
+        else np.asarray(den.node_types, dtype=np.int32)
+    )
+
+
+def prep_fused_denoiser(den, variables: dict, f_pad: int = 256) -> dict:
+    """Precompute every weight-side operand of the fused forward (runs once
+    per sampling call, before the diffusion scan)."""
+    p = variables["params"]
+    N = den.channels
+    F = den.dim + den.cond_dim
+    assert F <= f_pad
+    cdt = jnp.dtype(den.compute_dtype) if den.compute_dtype else jnp.float32
+    idx = _type_index(den)
+
+    blocks = []
+    for i in range(2 * den.depth):
+        bp = p[f"res{i}"]
+        ops = prep_resnet_params(bp, den.node_types, N)
+        blocks.append(dict(
+            w1=_pad_last(jnp.pad(ops["w1"], ((0, 0), (0, f_pad - F), (0, 0))), f_pad).astype(cdt),
+            b1=_pad_last(ops["b1"], f_pad).astype(cdt),
+            g1=ops["g1"].astype(cdt),
+            w2=_pad_last(jnp.pad(ops["w2"], ((0, 0), (0, f_pad - F), (0, 0))), f_pad).astype(cdt),
+            b2=_pad_last(ops["b2"], f_pad).astype(cdt),
+            g2=ops["g2"].astype(cdt),
+            film_k=bp["mlp"]["kernel"],
+            film_b=bp["mlp"]["bias"],
+        ))
+
+    attns = []
+    for i in range(2 * den.depth - 1):
+        ap = p[f"attn{i}"]
+        a = ap["attn"]
+        # RMSNorm gain with the √dim factor folded in; pad cols are zero so
+        # the normalized pad features stay zero
+        g_rms = _pad_last(ap["norm"]["g"].reshape(1, 1, F) * (F ** 0.5), f_pad)
+        attns.append(dict(
+            g_rms=g_rms.astype(cdt),
+            w_qkv=jnp.pad(
+                a["to_qkv"]["weight"][idx], ((0, 0), (0, f_pad - F), (0, 0))
+            ).astype(cdt),
+            g_qkv=l1_normalize_rows(a["to_qkv"]["G"]).astype(cdt),
+            w_out=_pad_last(a["to_out"]["weight"][idx], f_pad).astype(cdt),
+            g_out=l1_normalize_rows(a["to_out"]["G"]).astype(cdt),
+        ))
+    return {"blocks": blocks, "attns": attns}
+
+
+def _attention_padded(aops: dict, x: Array, heads: int, dim_head: int) -> Array:
+    """PreNorm(Attention-over-joints) + residual on the padded layout;
+    mirrors ``ops.attention.PreNormAttentionResidual`` (node-major branch)."""
+    cdt = x.dtype
+    norm = jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None)
+    h = ((x / norm) * aops["g_rms"]).astype(cdt)
+
+    qkv = gmix_nm(aops["g_qkv"], gmm_nm(h, aops["w_qkv"]))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    n, b = x.shape[0], x.shape[1]
+    shape4 = (n, b, heads, dim_head)
+    q = q.reshape(shape4) * (dim_head**-0.5)
+    k = k.reshape(shape4)
+    v = v.reshape(shape4)
+    sim = jnp.einsum("nbhc,mbhc->bhnm", q, k)
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhnm,mbhc->nbhc", attn, v).reshape(n, b, heads * dim_head)
+    out = gmix_nm(aops["g_out"], gmm_nm(out, aops["w_out"]))
+    return out + x
+
+
+def fused_denoiser_apply(
+    den,                 # models.denoiser.Denoiser module (config source)
+    variables: dict,
+    x: Array,            # [B, N, L]
+    time: Array,         # scalar int
+    u_cond: Array,       # [N, B, F] hoisted conditioning product
+    *,
+    prepped: Optional[dict] = None,
+    f_pad: int = 256,
+    batch_tile: int = 64,
+    interpret: bool = False,
+) -> Array:
+    p = variables["params"]
+    N = den.channels
+    diffusion_size = den.dim + den.cond_dim
+    cdt = jnp.dtype(den.compute_dtype) if den.compute_dtype else jnp.float32
+    if prepped is None:
+        prepped = prep_fused_denoiser(den, variables, f_pad=f_pad)
+    common = dict(
+        num_nodes=N, node_types=den.node_types,
+        learn_influence=den.learn_influence, node_major=True,
+        compute_dtype=den.compute_dtype,
+    )
+
+    # pad the batch to a tile multiple (static under jit; last eval batches
+    # may be ragged)
+    B0 = x.shape[0]
+    Bp = -(-B0 // batch_tile) * batch_tile
+    if Bp != B0:
+        x = jnp.pad(x, ((0, Bp - B0), (0, 0), (0, 0)))
+        u_cond = jnp.pad(u_cond, ((0, 0), (0, Bp - B0), (0, 0)))
+
+    # input projection on the hoisted-conditioning path (Denoiser.__call__,
+    # u_cond branch)
+    init_lin = StaticGraphLinear(
+        den.dim * (2 if den.self_condition else 1) + den.cond_dim,
+        diffusion_size, **common,
+    )
+    x = jnp.swapaxes(x, 0, 1).astype(cdt)
+    x = init_lin.apply(
+        {"params": p["init_lin"]}, x, input_offset=den.cond_dim, partial_in=u_cond
+    )
+    r = x
+
+    # time embedding MLP (scalar t → [1, time_dim])
+    time = jnp.atleast_1d(jnp.asarray(time))
+    t = sinusoidal_pos_emb(time, diffusion_size, den.sinusoidal_pos_emb_theta)
+    t = t @ p["time_mlp0"]["kernel"] + p["time_mlp0"]["bias"]
+    t = jax.nn.gelu(t, approximate=False)
+    t = t @ p["time_mlp1"]["kernel"] + p["time_mlp1"]["bias"]
+    tt = jnp.tanh(t)
+
+    n_pairs = 2 * den.depth
+    assert den.use_attention, "fused path expects attention pairs"
+    xp = _pad_last(x.astype(cdt), f_pad)
+    for i in range(n_pairs):
+        blk = prepped["blocks"][i]
+        film = tt @ blk["film_k"] + blk["film_b"]  # [1, 2F]
+        filmp = pad_film(film, diffusion_size, f_pad).astype(cdt)
+        xp = resnet_block_pallas_padded(
+            xp, filmp, blk["w1"], blk["b1"], blk["g1"],
+            blk["w2"], blk["b2"], blk["g2"],
+            batch_tile=batch_tile, interpret=interpret,
+        )
+        if i != n_pairs - 1:
+            xp = _attention_padded(
+                prepped["attns"][i], xp, den.attn_heads, den.attn_dim_head
+            )
+    x = xp[:, :, :diffusion_size]
+
+    # long skip + final block + head (XLA: the 2F-wide final block would not
+    # fit the kernel's VMEM budget and runs once per step)
+    x = jnp.concatenate([x, r], axis=-1)
+    x = ResnetBlock(
+        diffusion_size * 2, diffusion_size, num_nodes=N,
+        time_emb_dim=diffusion_size * 4, node_types=den.node_types,
+        learn_influence=den.learn_influence, node_major=True,
+        compute_dtype=den.compute_dtype,
+    ).apply({"params": p["final_res_block"]}, x, t)
+    x = StaticGraphLinear(diffusion_size, den.out_dim, **common).apply(
+        {"params": p["final_glin"]}, x
+    )
+    return jnp.swapaxes(x, 0, 1).astype(jnp.float32)[:B0]
