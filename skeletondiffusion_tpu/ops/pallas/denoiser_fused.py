@@ -93,23 +93,25 @@ def prep_fused_denoiser(den, variables: dict, f_pad: int = 256) -> dict:
     return {"blocks": blocks, "attns": attns}
 
 
-def _attention_padded(aops: dict, x: Array, heads: int, dim_head: int) -> Array:
+def _attention_padded(
+    aops: dict, x: Array, heads: int, dim_head: int,
+    batch_tile: int = 64, interpret: bool = False,
+) -> Array:
     """PreNorm(Attention-over-joints) + residual on the padded layout;
-    mirrors ``ops.attention.PreNormAttentionResidual`` (node-major branch)."""
+    mirrors ``ops.attention.PreNormAttentionResidual`` (node-major branch)
+    with the sim/softmax/AV core running as a Pallas kernel (17 ms → the
+    dominant denoiser cost under XLA; see ``joint_attention.py``)."""
+    from .joint_attention import attention_core_pallas
+
     cdt = x.dtype
     norm = jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None)
     h = ((x / norm) * aops["g_rms"]).astype(cdt)
 
     qkv = gmix_nm(aops["g_qkv"], gmm_nm(h, aops["w_qkv"]))
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    n, b = x.shape[0], x.shape[1]
-    shape4 = (n, b, heads, dim_head)
-    q = q.reshape(shape4) * (dim_head**-0.5)
-    k = k.reshape(shape4)
-    v = v.reshape(shape4)
-    sim = jnp.einsum("nbhc,mbhc->bhnm", q, k)
-    attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhnm,mbhc->nbhc", attn, v).reshape(n, b, heads * dim_head)
+    out = attention_core_pallas(
+        qkv, heads=heads, dim_head=dim_head,
+        batch_tile=batch_tile, interpret=interpret,
+    )
     out = gmix_nm(aops["g_out"], gmm_nm(out, aops["w_out"]))
     return out + x
 
@@ -180,7 +182,8 @@ def fused_denoiser_apply(
         )
         if i != n_pairs - 1:
             xp = _attention_padded(
-                prepped["attns"][i], xp, den.attn_heads, den.attn_dim_head
+                prepped["attns"][i], xp, den.attn_heads, den.attn_dim_head,
+                batch_tile=batch_tile, interpret=interpret,
             )
     x = xp[:, :, :diffusion_size]
 
