@@ -40,9 +40,10 @@ Array = jnp.ndarray
 
 def _attn_core_kernel(
     qkv_ref,   # [N, bt, 3·H·dh] (q ‖ k ‖ v on lanes)
-    s_ref,     # [H·dh, Hp] head block-indicator (head axis zero-padded to 128
-               # lanes; pad heads yield zero sim → uniform attn → never read)
-    st_ref,    # [Hp, H·dh] (pad rows zero → pad attn columns contribute 0)
+    s_ref,     # [CH·H·dh, Hp] block-indicator: S[j·H·dh + h·dh + c, j·H + h]=1
+               # (query-chunked; head axis zero-padded to 128 lanes — pad
+               # columns yield zero sim → uniform attn → never read)
+    st_ref,    # [Hp, CH·H·dh] transpose (pad rows zero → pad attn drops out)
     out_ref,   # [N, bt, H·dh]
     *,
     num_nodes: int,
@@ -50,6 +51,7 @@ def _attn_core_kernel(
     dim_head: int,
     batch_tile: int,
     heads_pad: int,
+    query_chunk: int,
 ):
     N, bt, Hp = num_nodes, batch_tile, heads_pad
     hd = heads * dim_head
@@ -60,27 +62,38 @@ def _attn_core_kernel(
     k = qkv_ref[:, :, hd : 2 * hd]
     v = qkv_ref[:, :, 2 * hd :]
 
-    for n in range(N):
-        # sim over all m at once: (K ⊙ q[n]) then head-block reduce on MXU
-        prod = (k * (q[n] * scale)[None]).reshape(N * bt, hd)
+    # process CH query nodes per MXU dot: the indicator matmul output is
+    # 128-lane-padded regardless, so packing CH·H useful columns into it
+    # divides dot and softmax invocations (and their 16× pad waste) by CH
+    ch = query_chunk
+    for c0 in range(0, N, ch):
+        g = min(ch, N - c0)
+        prod = jnp.concatenate(
+            [k * (q[c0 + j] * scale)[None] for j in range(g)], axis=-1
+        ).reshape(N * bt, g * hd)
         sim = jax.lax.dot_general(
-            prod, s_ref[...], (((1,), (0,)), ((), ())),
+            prod, s_ref[: g * hd, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(N, bt, Hp)
-        # softmax over the m (joint) axis
+        # softmax over the m (joint) axis; pad columns are all-zero →
+        # uniform attn, and the zero rows of Sᵀ discard them below
         mx = jnp.max(sim, axis=0, keepdims=True)
         e = jnp.exp(sim - mx)
         attn = (e / jnp.sum(e, axis=0, keepdims=True)).astype(dt)
         # AV: expand per-head weights back to feature lanes, multiply, reduce m
         a_exp = jax.lax.dot_general(
-            attn.reshape(N * bt, Hp), st_ref[...], (((1,), (0,)), ((), ())),
+            attn.reshape(N * bt, Hp), st_ref[:, : g * hd], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(N, bt, hd).astype(dt)
-        out_ref[n] = jnp.sum(a_exp * v, axis=0)
+        ).reshape(N, bt, g * hd).astype(dt)
+        for j in range(g):
+            out_ref[c0 + j] = jnp.sum(
+                a_exp[:, :, j * hd : (j + 1) * hd] * v, axis=0
+            )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "dim_head", "batch_tile", "interpret")
+    jax.jit,
+    static_argnames=("heads", "dim_head", "batch_tile", "interpret", "query_chunk"),
 )
 def attention_core_pallas(
     qkv: Array,          # [N, B, 3·H·dh] node-major packed q‖k‖v
@@ -88,6 +101,7 @@ def attention_core_pallas(
     heads: int,
     dim_head: int,
     batch_tile: int = 64,
+    query_chunk: int = 4,
     interpret: bool = False,
 ) -> Array:
     """sim/softmax/AV over the joint axis: [N,B,3·H·dh] → [N,B,H·dh]."""
@@ -98,10 +112,12 @@ def attention_core_pallas(
     assert B % batch_tile == 0, (B, batch_tile)
     dt = qkv.dtype
 
-    heads_pad = max(128, heads)
-    s = np.zeros((hd, heads_pad), np.float32)
-    for h in range(heads):
-        s[h * dim_head : (h + 1) * dim_head, h] = 1.0
+    heads_pad = max(128, heads * query_chunk)
+    assert heads * query_chunk <= heads_pad
+    s = np.zeros((query_chunk * hd, heads_pad), np.float32)
+    for j in range(query_chunk):
+        for h in range(heads):
+            s[j * hd + h * dim_head : j * hd + (h + 1) * dim_head, j * heads + h] = 1.0
     s = jnp.asarray(s, dt)
 
     grid = (B // batch_tile,)
@@ -109,12 +125,13 @@ def attention_core_pallas(
         functools.partial(
             _attn_core_kernel, num_nodes=N, heads=heads,
             dim_head=dim_head, batch_tile=batch_tile, heads_pad=heads_pad,
+            query_chunk=query_chunk,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((N, batch_tile, 3 * hd), lambda i: (0, i, 0)),
-            pl.BlockSpec((hd, heads_pad), lambda i: (0, 0)),
-            pl.BlockSpec((heads_pad, hd), lambda i: (0, 0)),
+            pl.BlockSpec((query_chunk * hd, heads_pad), lambda i: (0, 0)),
+            pl.BlockSpec((heads_pad, query_chunk * hd), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((N, batch_tile, hd), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((N, B, hd), dt),
