@@ -301,3 +301,14 @@ def decode_rollout(
         ph=ph, batch_tile=batch_tile, interpret=interpret,
     )  # [ph, N, B, 3]
     return jnp.transpose(ys, (2, 0, 1, 3))
+
+
+def can_use_fused_decode(decoder_params: dict, batch: int, batch_tile: int = 128) -> bool:
+    """Trace-time guard: fused rollout needs a GRU decoder, a TPU backend and
+    a tile-aligned batch (shapes/backend are static under jit)."""
+    try:
+        hidden = decoder_params["initial_hidden_h"]["weight"].shape[-1]
+        is_gru = decoder_params["rollout"]["cell"]["weight_hh"].shape[-1] == 3 * hidden
+    except (KeyError, TypeError):
+        return False
+    return is_gru and jax.default_backend() == "tpu" and batch % batch_tile == 0

@@ -101,6 +101,23 @@ class TrainerDiffusion:
             step=jnp.asarray(0),
         )
 
+    def _decode(self, x_t, latents):
+        """Forward-only AE decode; uses the fused Pallas GRU-rollout kernel
+        on TPU when shapes allow (this path is always under stop_gradient —
+        the k-best selection, reference `trainer.py:182-205` — or in
+        validation, so no VJP is ever needed through the kernel)."""
+        from ..ops.pallas.gru_rollout import can_use_fused_decode, decode_rollout
+
+        dec_params = self.ae_params["params"].get("decoder", {})
+        if can_use_fused_decode(dec_params, x_t.shape[0]):
+            return decode_rollout(
+                dec_params, self.autoencoder.node_types,
+                x_t[:, -2:], latents, ph=self.ph_eval,
+            )
+        return self.autoencoder.apply(
+            self.ae_params, x_t, latents, None, ph=self.ph_eval, method=AutoEncoder.decode
+        )
+
     # ---- loss ---------------------------------------------------------------
     def _embed(self, x, y):
         """Frozen-AE embeddings, both stop-grad (reference computes them
@@ -119,9 +136,7 @@ class TrainerDiffusion:
         if self.similarity_space == "latent_space":
             return None  # handled by caller from the diffusion loss itself
         x_t = jnp.repeat(x, k, axis=0)
-        out = self.autoencoder.apply(
-            self.ae_params, x_t, samples, None, ph=self.ph_eval, method=AutoEncoder.decode
-        )  # [b·k, T, N, 3]
+        out = self._decode(x_t, samples)  # [b·k, T, N, 3]
         out = out.reshape(b, k, *out.shape[1:])
         if self.similarity_space == "input_space":
             fut = y[:, None]  # broadcast over k
@@ -183,9 +198,7 @@ class TrainerDiffusion:
         x_cond = jnp.repeat(z_past, num_samples, axis=0)
         samples, _ = self.diffusion.sample(params, rng, batch_size=b * num_samples, x_cond=x_cond)
         x_t = jnp.repeat(x, num_samples, axis=0)
-        out = self.autoencoder.apply(
-            self.ae_params, x_t, samples, None, ph=self.ph_eval, method=AutoEncoder.decode
-        )
+        out = self._decode(x_t, samples)
         out = out.reshape(b, num_samples, *out.shape[1:])
         samples = samples.reshape(b, num_samples, *samples.shape[1:])
         return out, samples
