@@ -56,7 +56,7 @@ def prepare_model(cfg: Dict, skeleton):
             "diffusion_objective", "beta_schedule", "beta_schedule_factor",
             "diffusion_covariance_type", "gamma_scheduler", "loss_reduction_type",
             "diffusion_loss_type", "diffusion_activation", "diffusion_arch",
-            "sampling_timesteps", "ddim_sampling_eta",
+            "sampling_timesteps", "ddim_sampling_eta", "compute_dtype",
         )
     })
     import jax.numpy as jnp

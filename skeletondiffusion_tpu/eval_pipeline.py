@@ -77,6 +77,13 @@ class SkeletonDiffusionPredictor:
             and den.use_attention
             and not den.self_condition
             and getattr(den, "node_major", False)
+            # fp32 weight tiles would exceed the 16 MB VMEM budget at the
+            # kernels' batch tile — the fused path is bf16-compute only
+            and den.compute_dtype == "bfloat16"
+            # kernel shape constraints: attention lanes must fill 128-lane
+            # tiles and the padded pipeline is sized for ≤256 features
+            and (den.attn_heads * den.attn_dim_head) % 128 == 0
+            and den.dim + den.cond_dim <= 256
         ):
             from .ops.pallas.denoiser_fused import (
                 fused_denoiser_apply,
