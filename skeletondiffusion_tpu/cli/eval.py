@@ -138,6 +138,16 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
             print(f"if_compute_fid set but classifier missing at {clf_path}; skipping FID")
 
     timer = AverageTimer() if cfg.get("if_measure_time") else None
+    # on-device profiling (SURVEY §5: the reference only has wall-clock
+    # timing; the TPU-native equivalent is a jax.profiler trace)
+    prof_dir = None
+    if cfg.get("if_profile"):
+        prof_dir = os.path.join(cfg.get("checkpoint_path") or ".", "profile")
+        try:
+            jax.profiler.start_trace(prof_dir)
+        except Exception as e:  # profiling must never break eval
+            print(f"profiler unavailable: {e}")
+            prof_dir = None
     store = None
     if cfg.get("if_store_output"):
         store = ResultStorer(cfg["store_output_path"], store_gt=cfg.get("if_store_gt", False))
@@ -161,6 +171,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
         fid_classifier_params=fid_params,
         mesh=mesh,
     )
+    if prof_dir is not None:
+        jax.profiler.stop_trace()
+        print("profiler trace written to", prof_dir)
     print(draw_table(results))
     if timer is not None:
         print("timing:", timer.summary())

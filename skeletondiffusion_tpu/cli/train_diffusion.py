@@ -65,6 +65,9 @@ def train(cfg: Dict) -> str:
     out_dir = cfg["output_log_path"]
     os.makedirs(out_dir, exist_ok=True)
     save_config(cfg, os.path.join(out_dir, "config.yaml"))
+    from ..utils.config import snapshot_code
+
+    snapshot_code(out_dir)
     logger = MetricsLogger(out_dir)
 
     from ..utils.debug import configure_debug

@@ -161,11 +161,46 @@ def flatten_config(cfg: Dict[str, Any], groups=("task", "dataset", "model", "met
 
 
 def save_config(cfg: Dict[str, Any], path: str):
-    """Experiment-folder config snapshot (reference `config.py:77-87`; the
-    reference's full source-tree self-copy is intentionally not reproduced)."""
+    """Experiment-folder config snapshot; reference `config.py:77-87`."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
+
+
+def snapshot_code(out_dir: str):
+    """Self-copy of the framework source into the experiment folder so a run
+    is reproducible against the exact code that produced it; reference
+    `src/utils/config.py:88-96` (which copies the whole source tree — here a
+    single zip of the package + entry scripts, plus the git revision)."""
+    import subprocess
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(pkg_root)
+    os.makedirs(out_dir, exist_ok=True)
+    zip_path = os.path.join(out_dir, "code_snapshot.zip")
+    try:
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for base, _, files in os.walk(pkg_root):
+                if "__pycache__" in base:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(base, fn)
+                        zf.write(full, os.path.relpath(full, repo_root))
+            for fn in ("train_autoencoder.py", "train_diffusion.py", "eval.py", "bench.py"):
+                full = os.path.join(repo_root, fn)
+                if os.path.exists(full):
+                    zf.write(full, fn)
+        rev = subprocess.run(
+            ["git", "-C", repo_root, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if rev.returncode == 0:
+            with open(os.path.join(out_dir, "git_revision.txt"), "w") as f:
+                f.write(rev.stdout)
+    except OSError:
+        pass  # snapshotting must never break training
 
 
 def load_and_merge_autoenc_cfg(diff_cfg: Dict[str, Any], autoenc_cfg_path: str) -> Dict[str, Any]:
