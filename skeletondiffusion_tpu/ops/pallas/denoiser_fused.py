@@ -99,21 +99,24 @@ def _attention_padded(
 ) -> Array:
     """PreNorm(Attention-over-joints) + residual on the padded layout;
     mirrors ``ops.attention.PreNormAttentionResidual`` (node-major branch)
-    with the sim/softmax/AV core running as a Pallas kernel (17 ms → the
-    dominant denoiser cost under XLA; see ``joint_attention.py``)."""
+    as three Pallas kernels: norm+qkv projection, the sim/softmax/AV core
+    (17 ms → the dominant denoiser cost under XLA; ``joint_attention.py``),
+    and out-projection+residual (``attention_proj.py``)."""
+    from .attention_proj import outproj_res_pallas, rms_qkv_pallas
     from .joint_attention import attention_core_pallas
 
-    cdt = x.dtype
-    norm = jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None)
-    h = ((x / norm) * aops["g_rms"]).astype(cdt)
-
-    qkv = gmix_nm(aops["g_qkv"], gmm_nm(h, aops["w_qkv"]))
+    qkv = rms_qkv_pallas(
+        x, aops["g_rms"].reshape(1, -1), aops["w_qkv"], aops["g_qkv"],
+        batch_tile=batch_tile, interpret=interpret,
+    )
     out = attention_core_pallas(
         qkv, heads=heads, dim_head=dim_head,
         batch_tile=batch_tile, interpret=interpret,
     )
-    out = gmix_nm(aops["g_out"], gmm_nm(out, aops["w_out"]))
-    return out + x
+    return outproj_res_pallas(
+        out, x, aops["w_out"], aops["g_out"],
+        batch_tile=batch_tile, interpret=interpret,
+    )
 
 
 def fused_denoiser_apply(
