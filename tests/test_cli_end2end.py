@@ -108,3 +108,27 @@ def test_two_stage_training_and_eval(data_root, monkeypatch):
     for key in ("ADE", "FDE", "APD", "CMD", "APDE"):
         assert key in results and np.isfinite(results[key]), results
     assert os.path.exists(os.path.join(data_root, "results.yaml"))
+
+    # experiment-folder artifacts (reference `config.py:77-96`): config
+    # snapshot + source self-copy
+    import zipfile
+
+    assert os.path.exists(os.path.join(ae_dir, "code_snapshot.zip"))
+    with zipfile.ZipFile(os.path.join(diff_dir, "code_snapshot.zip")) as zf:
+        assert any(n.startswith("skeletondiffusion_tpu/") for n in zf.namelist())
+
+    # notebook-style inference API on the trained experiment (reference
+    # `Inference Example.ipynb` / `src/inference_utils.py:23-51`)
+    import jax
+
+    from skeletondiffusion_tpu.inference import InferenceSession
+
+    session = InferenceSession(diff_dir, "amass", num_samples=3)
+    sk = session.skeleton
+    obs = np.random.default_rng(0).standard_normal(
+        (sk.obs_length, sk.num_joints, 3)
+    ).astype(np.float32) * 0.2
+    pred = session.predict(obs, rng=jax.random.key(0))
+    assert pred.shape[:2] == (3, sk.pred_length) or pred.shape[0] == 3
+    closest, diverse, idx = session.rank(pred, np.repeat(obs[-1:], sk.pred_length, axis=0), n_diverse=2)
+    assert len(idx) == 2 and np.all(np.isfinite(np.asarray(closest)))
