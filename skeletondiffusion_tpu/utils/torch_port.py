@@ -40,7 +40,13 @@ def _rnn_cell(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
         "weight_ih": np.swapaxes(sd[f"{prefix}.weight_ih"], -1, -2),
         "weight_hh": np.swapaxes(sd[f"{prefix}.weight_hh"], -1, -2),
     }
-    for b in ("bias_ih", "bias_hh"):
+    # LSTM cells (4H gates): the reference defines bias_ih but never uses it
+    # in the forward pass (`recurrent.py:149-150`), so the flax LSTM cell
+    # doesn't declare it — porting it over would leave an unexpected key
+    hidden = out["weight_hh"].shape[-2]
+    is_lstm = out["weight_hh"].shape[-1] == 4 * hidden
+    biases = ("bias_hh",) if is_lstm else ("bias_ih", "bias_hh")
+    for b in biases:
         if f"{prefix}.{b}" in sd:
             out[b] = sd[f"{prefix}.{b}"]
     if f"{prefix}.G_add" in sd:

@@ -63,3 +63,27 @@ def test_autoencoder_forward_matches_reference(skeleton):
 
     loss = autoencoder_loss(out, fut, loss_type="l1", reduction="none")
     np.testing.assert_allclose(np.asarray(loss), g["loss_none"], atol=1e-3)
+
+
+def test_rnn_cell_port_drops_unused_lstm_bias_ih():
+    """The reference LSTM defines bias_ih but never uses it in the forward
+    (`recurrent.py:149-150`); the port must not emit it (the flax cell has
+    no such param)."""
+    import numpy as np
+
+    from skeletondiffusion_tpu.utils.torch_port import _rnn_cell
+
+    H, T = 8, 3
+    sd_lstm = {
+        "c.weight_ih": np.zeros((T, 4 * H, 6)), "c.weight_hh": np.zeros((T, 4 * H, H)),
+        "c.bias_ih": np.zeros((T, 4 * H)), "c.bias_hh": np.zeros((T, 4 * H)),
+    }
+    out = _rnn_cell(sd_lstm, "c")
+    assert "bias_ih" not in out and "bias_hh" in out
+
+    sd_gru = {
+        "c.weight_ih": np.zeros((T, 3 * H, 6)), "c.weight_hh": np.zeros((T, 3 * H, H)),
+        "c.bias_ih": np.zeros((T, 3 * H)), "c.bias_hh": np.zeros((T, 3 * H)),
+    }
+    out = _rnn_cell(sd_gru, "c")
+    assert "bias_ih" in out and "bias_hh" in out
