@@ -149,6 +149,24 @@ class BaseDataset:
         self.segments = [self.segments[i] for i in keep]
         self.segment_idx_to_metadata = [self.segment_idx_to_metadata[i] for i in keep]
 
+    def validate_segments_extended_obslength(self, extended_obslength: int):
+        """Shift segments back by ``extended_obslength`` frames and drop any
+        that would start before their clip; reference
+        `base_dataset.py:210-218`."""
+        keep = [i for i, (idx, init, end) in enumerate(self.segments)
+                if init - extended_obslength >= 0]
+        remap = {old: new for new, old in enumerate(keep)}
+        if self.mm_indces is not None:
+            self.mm_indces = {
+                new: [remap[o] for o in self.mm_indces[old] if o in remap]
+                for new, old in enumerate(keep)
+            }
+        self.segments = [
+            (idx, init - extended_obslength, end)
+            for i, (idx, init, end) in enumerate(self.segments) if i in remap
+        ]
+        self.segment_idx_to_metadata = [self.segment_idx_to_metadata[i] for i in keep]
+
     def _load_mean_motion(self, task: str = "hmp"):
         """CMD reference statistics; reference `base_dataset.py:82-107`."""
         motion_avg_path = os.path.join(self.precomputed_folder, "mean_motion_test.txt")
@@ -192,6 +210,7 @@ class MotionDataset(BaseDataset):
         if_consider_hip: bool = False,
         if_load_mmgt: bool = False,
         extended_pred_length: Optional[int] = None,
+        extended_obs_length: Optional[int] = None,
         if_noisy_obs: bool = False,
         noise_level: float = 0.30,
         noise_std: float = 0.03,
@@ -215,6 +234,16 @@ class MotionDataset(BaseDataset):
             assert extended_pred_length > pred_length
             assert split in ("test", "valid")
             pred_length = extended_pred_length
+        # segments are built with the BASE obs_length; the extension shifts
+        # their starts back afterwards (reference `base_dataset.py:210-218`)
+        if extended_obs_length is not None:
+            assert extended_obs_length > obs_length, (
+                f"extended_obs_length ({extended_obs_length}) must exceed "
+                f"obs_length ({obs_length})"
+            )
+            self._extend_obs_by = extended_obs_length - obs_length
+        else:
+            self._extend_obs_by = 0
         self.in_eval = split in ("test", "valid")
 
         super().__init__(
@@ -227,6 +256,9 @@ class MotionDataset(BaseDataset):
             self._load_mean_motion()
         if extended_pred_length is not None:
             self.validate_segments_extended_predlength()
+        if self._extend_obs_by:
+            self.validate_segments_extended_obslength(self._extend_obs_by)
+            self.obs_length += self._extend_obs_by
         if not silent:
             print(f"Constructed {type(self).__name__} split={split}: {len(self.segments)} segments")
 

@@ -126,3 +126,21 @@ def test_chunked_mmgt_matches_direct(rng):
     full = get_multimodal_gt(frames, 1.5, chunk=64)
     chunked = get_multimodal_gt(frames, 1.5, chunk=7)
     assert full == chunked
+
+
+def test_extended_obs_length_revalidation(fixture_dir, skeleton):
+    """extended_obs_length shifts segment starts back and drops segments
+    that would underrun their clip; reference `base_dataset.py:210-218`."""
+    base = AMASSDataset(datasets=["ACCAD", "CMU"], split="test",
+                        precomputed_folder=fixture_dir, skeleton=skeleton,
+                        obs_length=OBS, pred_length=PRED,
+                        segments_path=os.path.join(fixture_dir, "segments_test.csv"),
+                        if_consider_hip=False, silent=True)
+    ext = AMASSDataset(datasets=["ACCAD", "CMU"], split="test",
+                       precomputed_folder=fixture_dir, skeleton=skeleton,
+                       obs_length=OBS, pred_length=PRED, extended_obs_length=OBS + 2,
+                       segments_path=os.path.join(fixture_dir, "segments_test.csv"),
+                       if_consider_hip=False, silent=True)
+    assert 0 < len(ext.segments) <= len(base.segments)
+    obs, pred, extra = ext[0]
+    assert obs.shape[0] == OBS + 2 and pred.shape[0] == PRED
