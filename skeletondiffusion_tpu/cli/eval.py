@@ -177,9 +177,25 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     print(draw_table(results))
     if timer is not None:
         print("timing:", timer.summary())
-    out_path = cfg.get("results_path") or os.path.join(
-        cfg.get("checkpoint_path") or ".", f"results_{cfg['dataset_name']}_{cfg.get('stats_mode')}.yaml"
-    )
+    if cfg.get("results_path"):
+        out_path = cfg["results_path"]
+    else:
+        # eval out-folder naming mirrors the reference (device name + seed +
+        # long-term/noise labels, `src/eval_prepare_model.py:18-24`)
+        dev = jax.devices()[0]
+        dev_name = f"{dev.platform}-{getattr(dev, 'device_kind', '')}".replace(" ", "_")
+        lt = f"_longterm{cfg.get('long_term_factor')}" if cfg.get("if_long_term_test") else ""
+        nz = (
+            f"_noisyobs{cfg.get('noise_level')}-{cfg.get('noise_std')}"
+            if cfg.get("if_noisy_obs") else ""
+        )
+        out_dir = os.path.join(
+            cfg.get("checkpoint_path") or ".",
+            f"eval_{cfg['dataset_name']}_{cfg['batch_size']}{lt}{nz}",
+            cfg.get("dataset_split", "test"), f"{dev_name}_seed{cfg.get('seed', 0)}",
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, f"results_{cfg.get('stats_mode')}.yaml")
     try:
         with open(out_path, "w") as f:
             yaml.safe_dump({k: float(v) for k, v in results.items()}, f)
