@@ -138,3 +138,37 @@ class StaticGraphLinear(nn.Module):
                 bias = bias.astype(cdt)
             out = out + bias[type_index]
         return jnp.einsum("nm,bmo->bno", g, out)
+
+
+class DynamicGraphLinear(nn.Module):
+    """Graph linear whose influence matrix is selected PER CALL: either an
+    explicit ``g`` or a sub-graph ``G[t][:, t]`` of the learnable full-size
+    influence matrix indexed by a node-id vector ``t``; reference
+    `graph_structural.py:46-54`.  No shipped config or checkpoint uses it
+    (zero call sites upstream) — provided for API completeness.
+    """
+
+    in_features: int
+    out_features: int
+    max_nodes: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, g: Optional[Array] = None, t: Optional[Array] = None) -> Array:
+        assert g is not None or t is not None, (
+            "Either Graph Influence Matrix or Node Type Vector is needed"
+        )
+        weight = self.param(
+            "weight", graph_linear_weight(1, self.in_features, self.out_features)
+        )[0]
+        G = self.param("G", lambda key: jnp.eye(self.max_nodes, dtype=jnp.float32))
+        if g is None:
+            t = jnp.asarray(t)
+            g = G[t][:, t]
+        out = x @ weight
+        if self.use_bias:
+            bias = self.param(
+                "bias", graph_linear_bias(1, self.in_features, self.out_features)
+            )[0]
+            out = out + bias
+        return jnp.einsum("nm,bmo->bno", g, out)

@@ -87,3 +87,25 @@ def test_rnn_cell_port_drops_unused_lstm_bias_ih():
     }
     out = _rnn_cell(sd_gru, "c")
     assert "bias_ih" in out and "bias_hh" in out
+
+
+def test_dynamic_graph_linear_subgraph_selection():
+    """DynamicGraphLinear selects G[t][:,t] when only node ids are given
+    (reference `graph_structural.py:46-54`); passing the same sub-matrix
+    explicitly must be identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from skeletondiffusion_tpu.ops.graph_linear import DynamicGraphLinear
+
+    lin = DynamicGraphLinear(in_features=6, out_features=5, max_nodes=10)
+    x = jax.random.normal(jax.random.key(0), (2, 4, 6))
+    t = jnp.asarray([0, 3, 7, 9])
+    params = lin.init(jax.random.key(1), x, t=t)
+    params["params"]["G"] = jax.random.normal(jax.random.key(2), (10, 10))
+
+    out_t = lin.apply(params, x, t=t)
+    g_sub = params["params"]["G"][t][:, t]
+    out_g = lin.apply(params, x, g=g_sub)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_g), atol=1e-6)
+    assert out_t.shape == (2, 4, 5)
