@@ -18,7 +18,7 @@ from .graph_gru import (
     StaticGraphLSTM,
     StaticGraphLSTMCell,
 )
-from .graph_linear import StaticGraphLinear, gmm, l1_normalize_rows
+from .graph_linear import DynamicGraphLinear, StaticGraphLinear, gmm, l1_normalize_rows
 from .initializers import (
     graph_linear_bias,
     graph_linear_weight,
@@ -30,7 +30,7 @@ __all__ = [
     "Attention", "Block", "GraphGRUState", "GraphLSTMState",
     "PreNormAttentionResidual", "RMSNorm", "ResnetBlock", "StaticGraphGRU",
     "StaticGraphGRUCell", "StaticGraphLSTM", "StaticGraphLSTMCell",
-    "StaticGraphLinear", "gmm", "graph_linear_bias", "graph_linear_weight",
+    "DynamicGraphLinear", "StaticGraphLinear", "gmm", "graph_linear_bias", "graph_linear_weight",
     "l1_normalize_rows", "sinusoidal_pos_emb", "torch_linear_weight",
     "uniform_stdv",
 ]
