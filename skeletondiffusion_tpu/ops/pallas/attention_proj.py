@@ -38,7 +38,7 @@ def _rms_qkv_kernel(
     wqkv_ref,   # [N, Fp, 3·hd]
     gq_ref,     # [N, N] row-normalized qkv influence
     out_ref,    # [N, bt, 3·hd]
-    h_scr,      # VMEM [N, bt, 3·hd]
+    h_scr,      # VMEM [N, bt, hd] (one q/k/v third at a time)
     *,
     num_nodes: int,
     batch_tile: int,
@@ -54,15 +54,20 @@ def _rms_qkv_kernel(
     norm = jnp.sqrt(jnp.maximum(sq, 1e-24))
     h = (x / norm * grms_ref[0][None, None, :]).astype(dt)
 
-    for n in range(N):
-        h_scr[n] = jax.lax.dot_general(
-            h[n], wqkv_ref[n], (((1,), (0,)), ((), ())),
+    # one q/k/v third at a time (reused scratch keeps the VMEM stack small —
+    # the full-width gmix temporaries would bust the 16 MB scoped budget)
+    third = hd3 // 3
+    for s in range(3):
+        lo = s * third
+        for n in range(N):
+            h_scr[n] = jax.lax.dot_general(
+                h[n], wqkv_ref[n, :, lo : lo + third], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+        out_ref[:, :, lo : lo + third] = jax.lax.dot_general(
+            gq_ref[...], h_scr[...].reshape(N, bt * third), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(dt)
-    out_ref[...] = jax.lax.dot_general(
-        gq_ref[...], h_scr[...].reshape(N, bt * hd3), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(N, bt, hd3).astype(dt)
+        ).reshape(N, bt, third).astype(dt)
 
 
 def _outproj_res_kernel(
@@ -117,7 +122,7 @@ def rms_qkv_pallas(
         ],
         out_specs=pl.BlockSpec((N, batch_tile, hd3), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((N, B, hd3), x.dtype),
-        scratch_shapes=[pltpu.VMEM((N, batch_tile, hd3), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((N, batch_tile, hd3 // 3), x.dtype)],
         interpret=interpret,
     )(x, g_rms, w_qkv.astype(x.dtype), g_qkv.astype(x.dtype))
 

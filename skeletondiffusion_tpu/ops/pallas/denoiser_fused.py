@@ -74,6 +74,23 @@ def prep_fused_denoiser(den, variables: dict, f_pad: int = 256) -> dict:
             film_b=bp["mlp"]["bias"],
         ))
 
+    # input projection (latent half of init_lin; the conditioning half is the
+    # hoisted u_cond) and the output head as one-pass graph-linear kernels
+    il = p["init_lin"]
+    w_init = il["weight"][idx][:, den.cond_dim : den.cond_dim + den.dim, :]
+    w_init = _pad_last(jnp.pad(w_init, ((0, 0), (0, 128 - den.dim % 128 if den.dim % 128 else 0), (0, 0))), f_pad)
+    stem = dict(
+        w=w_init.astype(cdt),
+        b=_pad_last(il["bias"][idx], f_pad).astype(cdt),
+        g=l1_normalize_rows(il["G"]).astype(cdt),
+    )
+    fg = p["final_glin"]
+    head = dict(
+        w=_pad_last(jnp.pad(fg["weight"][idx], ((0, 0), (0, f_pad - F), (0, 0))), 128).astype(cdt),
+        b=_pad_last(fg["bias"][idx], 128).astype(cdt),
+        g=l1_normalize_rows(fg["G"]).astype(cdt),
+    )
+
     attns = []
     for i in range(2 * den.depth - 1):
         ap = p[f"attn{i}"]
@@ -90,7 +107,7 @@ def prep_fused_denoiser(den, variables: dict, f_pad: int = 256) -> dict:
             w_out=_pad_last(a["to_out"]["weight"][idx], f_pad).astype(cdt),
             g_out=l1_normalize_rows(a["to_out"]["G"]).astype(cdt),
         ))
-    return {"blocks": blocks, "attns": attns}
+    return {"blocks": blocks, "attns": attns, "stem": stem, "head": head}
 
 
 def _attention_padded(
@@ -152,16 +169,18 @@ def fused_denoiser_apply(
         u_cond = jnp.pad(u_cond, ((0, 0), (0, Bp - B0), (0, 0)))
 
     # input projection on the hoisted-conditioning path (Denoiser.__call__,
-    # u_cond branch)
-    init_lin = StaticGraphLinear(
-        den.dim * (2 if den.self_condition else 1) + den.cond_dim,
-        diffusion_size, **common,
-    )
-    x = jnp.swapaxes(x, 0, 1).astype(cdt)
-    x = init_lin.apply(
-        {"params": p["init_lin"]}, x, input_offset=den.cond_dim, partial_in=u_cond
-    )
-    r = x
+    # u_cond branch): one-pass graph-linear kernel, output directly on the
+    # 256-padded pipeline
+    from .graph_linear_fused import graph_linear_pallas
+
+    lat_pad = -(-den.dim // 128) * 128
+    x = _pad_last(jnp.swapaxes(x, 0, 1).astype(cdt), lat_pad)
+    u_pad = _pad_last(u_cond.astype(cdt), f_pad)
+    xp = graph_linear_pallas(
+        x, prepped["stem"]["w"], prepped["stem"]["b"], prepped["stem"]["g"],
+        u=u_pad, batch_tile=batch_tile, interpret=interpret,
+    )  # [N, Bp, f_pad], pad cols zero
+    r = xp[:, :, :diffusion_size]
 
     # time embedding MLP (scalar t → [1, time_dim])
     time = jnp.atleast_1d(jnp.asarray(time))
@@ -173,7 +192,6 @@ def fused_denoiser_apply(
 
     n_pairs = 2 * den.depth
     assert den.use_attention, "fused path expects attention pairs"
-    xp = _pad_last(x.astype(cdt), f_pad)
     for i in range(n_pairs):
         blk = prepped["blocks"][i]
         film = tt @ blk["film_k"] + blk["film_b"]  # [1, 2F]
@@ -190,8 +208,8 @@ def fused_denoiser_apply(
             )
     x = xp[:, :, :diffusion_size]
 
-    # long skip + final block + head (XLA: the 2F-wide final block would not
-    # fit the kernel's VMEM budget and runs once per step)
+    # long skip + final block (XLA: the 2F-wide final block would not fit
+    # the kernel's VMEM budget and runs once per step) + fused head
     x = jnp.concatenate([x, r], axis=-1)
     x = ResnetBlock(
         diffusion_size * 2, diffusion_size, num_nodes=N,
@@ -199,7 +217,9 @@ def fused_denoiser_apply(
         learn_influence=den.learn_influence, node_major=True,
         compute_dtype=den.compute_dtype,
     ).apply({"params": p["final_res_block"]}, x, t)
-    x = StaticGraphLinear(diffusion_size, den.out_dim, **common).apply(
-        {"params": p["final_glin"]}, x
-    )
+    x = graph_linear_pallas(
+        _pad_last(x.astype(cdt), f_pad),
+        prepped["head"]["w"], prepped["head"]["b"], prepped["head"]["g"],
+        batch_tile=batch_tile, interpret=interpret,
+    )[:, :, : den.out_dim]
     return jnp.swapaxes(x, 0, 1).astype(jnp.float32)[:B0]
