@@ -29,9 +29,15 @@ from .common import build_dataset, build_skeleton, setup_mesh
 from .train_diffusion import load_frozen_autoencoder
 
 
-def prepare_model(cfg: Dict, skeleton):
-    """Load AE + diffusion checkpoints into a predictor; reference
-    `src/eval_prepare_model.py:54-85`."""
+def merge_experiment_cfg(cfg: Dict) -> Dict:
+    """Merge the stored experiment config UNDER the current eval config
+    (eval keys win on intersection, stored training values fill the rest —
+    reference `eval.py:161-166` + `src/utils/config.py:23-31`).
+
+    Must run BEFORE skeleton/dataset construction so train-owned task keys
+    (pose_box_size, seq_centering, latent size, arch, …) come from the
+    checkpoint, not from eval-tree defaults.
+    """
     exp_dir = cfg.get("checkpoint_path") or ""
     assert exp_dir and os.path.isdir(exp_dir), (
         "checkpoint_path must point to a trained experiment directory "
@@ -40,12 +46,16 @@ def prepare_model(cfg: Dict, skeleton):
     )
     with open(os.path.join(exp_dir, "config.yaml")) as f:
         train_cfg = yaml.safe_load(f)
-    # stored training config merges UNDER the current eval config
-    # (reference `eval.py:161-166`)
     merged = dict(train_cfg)
     merged.update(cfg)
-    cfg = merged
+    return merged
 
+
+def prepare_model(cfg: Dict, skeleton):
+    """Load AE + diffusion checkpoints into a predictor; reference
+    `src/eval_prepare_model.py:54-85`.  ``cfg`` must already contain the
+    stored experiment config (see ``merge_experiment_cfg``)."""
+    exp_dir = cfg["checkpoint_path"]
     autoencoder, ae_params = load_frozen_autoencoder(cfg, skeleton)
     diffusion, denoiser = create_diffusion(skeleton, latent_size=cfg["latent_size"], **{
         k: v for k, v in cfg.items()
@@ -83,13 +93,19 @@ def prepare_model(cfg: Dict, skeleton):
         num_samples=cfg.get("num_samples", 50),
         pred_length=cfg["pred_length"],
         diffusion_conditioning=cfg.get("diffusion_conditioning", True),
-    ), cfg
+    )
 
 
 def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     argv = list(sys.argv[1:] if argv is None else argv)
     config_dir = os.environ.get("SKELDIFF_CONFIG_DIR", "configs/config_eval")
     cfg = flatten_config(load_config(config_dir, argv))
+
+    method = cfg.get("method_name", "SkeletonDiffusion")
+    if method == "SkeletonDiffusion":
+        # checkpoint-true: stored experiment config resolved BEFORE any
+        # skeleton/dataset/model construction (reference `eval.py:161-166`)
+        cfg = merge_experiment_cfg(cfg)
 
     skeleton = build_skeleton(cfg)
     mesh = setup_mesh(cfg)
@@ -107,9 +123,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
         noise_std=cfg.get("noise_std", 0.02),
     )
 
-    method = cfg.get("method_name", "SkeletonDiffusion")
     if method == "SkeletonDiffusion":
-        predictor, cfg = prepare_model(cfg, skeleton)
+        predictor = prepare_model(cfg, skeleton)
     elif method == "ZeroVelocity":
         predictor = ZeroVelocityPredictor(
             skeleton, num_samples=cfg.get("num_samples", 50), pred_length=cfg["pred_length"]
@@ -165,6 +180,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
         if_long_term_test=cfg.get("if_long_term_test", False),
         long_term_factor=cfg.get("long_term_factor", 2.5),
         pred_length=cfg.get("pred_length"),
+        if_noisy_obs=cfg.get("if_noisy_obs", False),
+        noise_level=cfg.get("noise_level", 0.25),
+        noise_std=cfg.get("noise_std", 0.02),
         store=store,
         timer=timer,
         ndebug=bool(int(os.environ.get("NDEBUG", "0"))),

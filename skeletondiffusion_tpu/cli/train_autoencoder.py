@@ -91,6 +91,16 @@ def train(cfg: Dict) -> str:
         start_epoch = host.get("epoch", 0) + 1
         if trainer.lr_scheduler is not None and "lr_scheduler" in host:
             trainer.lr_scheduler.load_state_dict(host["lr_scheduler"])
+        # bit-faithful resume: restore every host RNG stream (loader shuffle,
+        # dataset augmentation jitter, curriculum randint) so a resumed run
+        # reproduces the uninterrupted one exactly (reference
+        # `src/utils/reproducibility.py:47-79`, `train_diffusion.py:105-108`)
+        if "loader" in host:
+            loader.load_state_dict(host["loader"])
+        if "dataset" in host:
+            dataset.load_state_dict(host["dataset"])
+        if "curriculum" in host:
+            trainer.curriculum.load_state_dict(host["curriculum"])
 
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print(f"AutoEncoder parameters: {n_params:,}")
@@ -111,6 +121,16 @@ def train(cfg: Dict) -> str:
                 state, k, (obs_t, pred_t), epoch=epoch, iteration=it_global
             )
             losses.append(float(loss))
+            # per-iteration loss/lr + param/grad norms every 100 iterations
+            # (reference `src/utils/tensorboard.py:58-122`)
+            if it_global % cfg.get("log_every_iters", 10) == 0:
+                logger.log(it_global, {
+                    "loss": losses[-1],
+                    "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"],
+                    "ph": ph, "epoch": epoch,
+                }, prefix="train_iter")
+            logger.log_param_norms(it_global, state.params,
+                                   grad_norm=trainer.last_grad_norm)
             it_global += 1
         logger.log(epoch, {"loss": float(np.mean(losses)),
                            "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"],
@@ -133,7 +153,13 @@ def train(cfg: Dict) -> str:
         if score is not None or epoch % cfg.get("save_frequency", 50) == 0 or epoch == cfg["num_epochs"]:
             ckpt.save(state, step=epoch, score=score)
         ckpt.save_latest(state, step=epoch)
-        host = {"epoch": epoch}
+        host = {
+            "epoch": epoch,
+            "global_step": it_global,
+            "loader": loader.state_dict(),
+            "dataset": dataset.state_dict(),
+            "curriculum": trainer.curriculum.state_dict(),
+        }
         if trainer.lr_scheduler is not None:
             host["lr_scheduler"] = trainer.lr_scheduler.state_dict()
         save_host_state(out_dir, host)

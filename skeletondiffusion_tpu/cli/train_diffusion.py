@@ -142,7 +142,13 @@ def train(cfg: Dict) -> str:
         start_epoch = host.get("epoch", 0) + 1
         if trainer.lr_scheduler is not None and "lr_scheduler" in host:
             trainer.lr_scheduler.load_state_dict(host["lr_scheduler"])
+        # bit-faithful resume: host RNG streams (see train_autoencoder)
+        if "loader" in host:
+            loader.load_state_dict(host["loader"])
+        if "dataset" in host:
+            dataset.load_state_dict(host["dataset"])
 
+    it_global = (start_epoch - 1) * iter_per_epoch
     for epoch in range(start_epoch, cfg["num_epochs"] + 1):
         trainer.epoch_started(epoch)
         ek = epoch_key(root_key, epoch)
@@ -156,6 +162,17 @@ def train(cfg: Dict) -> str:
                 obs_t, pred_t = shard_batch(mesh, obs_t), shard_batch(mesh, pred_t)
             state, loss = trainer.train_step(state, k, (obs_t, pred_t))
             losses.append(float(loss))
+            # per-iteration loss/lr + param/grad norms every 100 iterations
+            # (reference `src/utils/tensorboard.py:58-122`)
+            if it_global % cfg.get("log_every_iters", 10) == 0:
+                logger.log(it_global, {
+                    "loss": losses[-1],
+                    "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"],
+                    "epoch": epoch,
+                }, prefix="train_iter")
+            logger.log_param_norms(it_global, state.params,
+                                   grad_norm=trainer.last_grad_norm)
+            it_global += 1
         logger.log(epoch, {"loss": float(np.mean(losses)),
                            "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"]})
 

@@ -178,6 +178,16 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def state_dict(self) -> Dict:
+        """Checkpointable shuffle-RNG + epoch counter so a resumed run
+        reproduces an uninterrupted one bit-for-bit (reference checkpoints
+        full RNG state, `src/utils/reproducibility.py:47-79`)."""
+        return {"rng": self._rng.bit_generator.state, "epoch": self._epoch}
+
+    def load_state_dict(self, state: Dict):
+        self._rng.bit_generator.state = state["rng"]
+        self._epoch = int(state["epoch"])
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = np.arange(n)
@@ -187,13 +197,16 @@ class DataLoader:
         max_m = getattr(self.dataset, "max_mmgt_count", 0)
         for start in range(0, n, self.batch_size):
             idx = order[start : start + self.batch_size]
-            if len(idx) < self.batch_size:
+            real_count = len(idx)
+            if real_count < self.batch_size:
                 if self.drop_last:
                     return
                 if self.pad_last:
-                    pad = self._rng.choice(order, self.batch_size - len(idx))
+                    pad = self._rng.choice(order, self.batch_size - real_count)
                     idx = np.concatenate([idx, pad])
             items = [self.dataset[int(i)] for i in idx]
             batch = collate(items, max_mmgt=max_m)
-            batch["_count"] = np.asarray(len(idx) if not self.pad_last else self.batch_size)
+            # number of REAL (non-pad) items: consumers mask accumulator
+            # updates on the padded final batch with this
+            batch["_count"] = np.asarray(real_count)
             yield batch

@@ -55,6 +55,14 @@ class BaseDataset:
         self._rng = np.random.default_rng(rng_seed)
         self._prepare_data()
 
+    def state_dict(self):
+        """Checkpointable augmentation-jitter RNG (bit-faithful resume;
+        reference `src/utils/reproducibility.py:47-79`)."""
+        return {"rng": self._rng.bit_generator.state}
+
+    def load_state_dict(self, state):
+        self._rng.bit_generator.state = state["rng"]
+
     def _prepare_data(self):
         raise NotImplementedError
 

@@ -258,6 +258,9 @@ def compute_metrics(
     if_long_term_test: bool = False,
     long_term_factor: float = 2.5,
     pred_length: Optional[int] = None,
+    if_noisy_obs: bool = False,
+    noise_level: float = 0.25,
+    noise_std: float = 0.02,
     store: Optional[Any] = None,
     timer: Optional[Any] = None,
     silent: bool = False,
@@ -277,7 +280,20 @@ def compute_metrics(
     covers multi-GPU eval with ``torch.nn.DataParallel``,
     `eval_prepare_model.py:79-80`; here it is GSPMD).  Full batches must be
     divisible by the data-axis size; the final partial batch falls back to
-    single-device."""
+    single-device.
+
+    ``if_noisy_obs``: eval-time robustness feature — perturb a fraction
+    ``noise_level`` of non-root joints of the observation with N(0, σ²)
+    noise, fresh per batch (reference `motion_dataset.py:11-19,187-188`
+    applies it per item in ``__getitem__``).
+
+    The final partial batch is PADDED to the full batch size (repeated
+    items) and the pad rows masked out of every accumulator — one XLA
+    program shape for the whole split instead of a second full compile for
+    the odd remainder."""
+    if config and not silent:
+        unknown = sorted(k for k in config)
+        print(f"compute_metrics: ignoring unconsumed config keys: {unknown}")
     suite = MetricSuite(
         stats_mode=stats_mode,
         skeleton=skeleton,
@@ -308,12 +324,16 @@ def compute_metrics(
             fp = clf.apply(fid_classifier_params, p, h0p, method=ClassifierForFID.get_fid_features)
             fg = clf.apply(fid_classifier_params, g, h0g, method=ClassifierForFID.get_fid_features)
             return fp, fg
-    loader = DataLoader(dataset, batch_size=batch_size, shuffle=False, drop_last=False)
+    loader = DataLoader(dataset, batch_size=batch_size, shuffle=False, drop_last=False,
+                        pad_last=True)
     rng = jax.random.key(seed)
     ph = pred_length or dataset.pred_length
 
     transform = jax.jit(
-        lambda obs, pred, mm: preprocess_batch(skeleton, jax.random.key(0), obs, pred, mm, train=False)
+        lambda key, obs, pred, mm: preprocess_batch(
+            skeleton, key, obs, pred, mm, train=False,
+            if_noisy_obs=if_noisy_obs, noise_level=noise_level, noise_std=noise_std,
+        )
     )
 
     if mesh is not None:
@@ -326,8 +346,10 @@ def compute_metrics(
     for b_i, batch in enumerate(prefetch_iterator(loader)):
         if timer is not None:
             timer.start()
-        rng, k = jax.random.split(rng)
-        mm_raw = batch.get("mm_gt")
+        # per-batch keys: one for sampling, one for the (possibly noisy)
+        # preprocess — noise must vary across batches
+        rng, k, k_pre = jax.random.split(rng, 3)
+        count = int(batch.get("_count", batch["obs"].shape[0]))
         if mesh is not None and batch["obs"].shape[0] % mesh.shape["data"] == 0:
             from .parallel import shard_batch
 
@@ -339,7 +361,7 @@ def compute_metrics(
         else:
             batch_dev = batch
         obs, target, mm_gt = transform(
-            batch_dev["obs"], batch_dev["pred"], batch_dev.get("mm_gt")
+            k_pre, batch_dev["obs"], batch_dev["pred"], batch_dev.get("mm_gt")
         )
 
         if if_long_term_test:
@@ -360,13 +382,18 @@ def compute_metrics(
         if if_compute_cmd:
             class_idxs = np.asarray(
                 [dataset.class_to_idx[m[dataset.metadata_class_idx]] for m in batch["metadata"]]
-            )
-        suite.update(vals, class_idxs=class_idxs)
+            )[:count]
+        suite.update(vals, class_idxs=class_idxs, count=count)
         if fid_acc is not None:
             fp, fg = fid_feats(pred_m, target_m)
-            fid_acc.update(np.asarray(fp), np.asarray(fg))
+            # fp is [B·S, feat]: pad rows are the trailing (B-count)·S
+            fid_acc.update(np.asarray(fp)[: count * num_samples], np.asarray(fg)[:count])
         if store is not None:
-            store.append(np.asarray(pred_m), obs=np.asarray(obs_m), target=np.asarray(target_m))
+            store.append(
+                np.asarray(pred_m)[:count],
+                obs=np.asarray(obs_m)[:count],
+                target=np.asarray(target_m)[:count],
+            )
         if timer is not None:
             jax.block_until_ready(vals)
             timer.stop()

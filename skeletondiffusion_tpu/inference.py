@@ -43,6 +43,10 @@ def quick_cfg_for_inference(
         ])
     )
     cfg_orig, _ = load_model_config_exp(checkpoint_path)
+    # stored experiment config fills everything the eval tree does not set;
+    # train-owned keys (pose_box_size, seq_centering, arch, …) are absent
+    # from the eval tree so the checkpoint's values win (reference
+    # `eval.py:161-166` semantics)
     merged = dict(cfg_orig)
     merged.update(cfg)
     return merged
@@ -60,8 +64,9 @@ class InferenceSession:
             num_joints=cfg["num_joints"], pose_box_size=cfg.get("pose_box_size", 1.5),
             obs_length=cfg["obs_length"], pred_length=cfg["pred_length"],
             if_consider_hip=cfg["if_consider_hip"],
+            seq_centering=cfg.get("seq_centering", 0),
         )
-        self.predictor, self.cfg = prepare_model(cfg, self.skeleton)
+        self.predictor = prepare_model(cfg, self.skeleton)
         self.num_samples = num_samples
 
     def predict(self, obs_raw: np.ndarray, rng: Optional[jax.Array] = None) -> np.ndarray:

@@ -107,8 +107,14 @@ class MetricSuite:
             mm_gt = mm_mask = None
         return self._jit_batch(pred, target, mm_gt=mm_gt, mm_mask=mm_mask)
 
-    def update(self, batch_values: Dict[str, Array], class_idxs: Optional[np.ndarray] = None):
+    def update(self, batch_values: Dict[str, Array], class_idxs: Optional[np.ndarray] = None,
+               count: Optional[int] = None):
+        """``count``: number of REAL items in the batch — trailing pad rows
+        (static-shape padded final batch) are dropped from every
+        accumulator."""
         vals = {k: np.asarray(v) for k, v in batch_values.items()}
+        if count is not None:
+            vals = {k: v[:count] for k, v in vals.items()}
         for name, storer in self.storers.items():
             storer.update(vals[name])
         if self.cmd is not None:

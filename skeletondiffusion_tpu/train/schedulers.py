@@ -112,3 +112,13 @@ class CurriculumPH:
         if ph > ph_min and self.random_ph:
             ph = int(self._rng.randint(ph_min, ph))
         return ph
+
+    def state_dict(self):
+        """Checkpointable curriculum RNG (MT19937 state as JSON-safe lists)."""
+        name, keys, pos, has_gauss, cached = self._rng.get_state()
+        return {"state": [name, keys.tolist(), int(pos), int(has_gauss), float(cached)]}
+
+    def load_state_dict(self, state):
+        name, keys, pos, has_gauss, cached = state["state"]
+        self._rng.set_state((name, np.asarray(keys, dtype=np.uint32), int(pos),
+                             int(has_gauss), float(cached)))

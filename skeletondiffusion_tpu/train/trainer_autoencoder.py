@@ -105,7 +105,11 @@ class AutoEncoderTrainer:
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
-        return AETrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
+        return (
+            AETrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            loss,
+            optax.global_norm(grads),
+        )
 
     def train_step(self, state: AETrainState, rng, batch, epoch: int, iteration: int):
         """Host-side wrapper: resolves curriculum ph + lr, calls the jitted
@@ -113,9 +117,11 @@ class AutoEncoderTrainer:
         x, y = batch
         ph = self.curriculum(epoch, iteration)
         lr = self.lr if self.lr_scheduler is None else self.lr_scheduler._current
-        state, loss = self._jit_step(
+        state, loss, gnorm = self._jit_step(
             state, rng, x, y, jnp.asarray(ph, jnp.int32), jnp.asarray(lr, jnp.float32)
         )
+        # lazy device scalar (see trainer_diffusion.train_step)
+        self.last_grad_norm = gnorm
         return state, loss, ph
 
     def epoch_started(self, epoch: int):

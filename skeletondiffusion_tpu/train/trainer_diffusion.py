@@ -178,12 +178,18 @@ class TrainerDiffusion:
         return (
             DiffTrainState(params=params, opt_state=opt_state, ema=ema, step=state.step + 1),
             loss,
+            optax.global_norm(grads),
         )
 
     def train_step(self, state: DiffTrainState, rng, batch):
         x, y = batch
         lr = self.lr if self.lr_scheduler is None else self.lr_scheduler._current
-        return self._jit_step(state, rng, x, y, jnp.asarray(lr, jnp.float32))
+        state, loss, gnorm = self._jit_step(state, rng, x, y, jnp.asarray(lr, jnp.float32))
+        # lazy device scalar for observability (reference logs grad scalars
+        # every 100 iterations, `src/utils/tensorboard.py:58-122`); only
+        # forces a sync if the caller float()s it
+        self.last_grad_norm = gnorm
+        return state, loss
 
     def epoch_started(self, epoch: int):
         if self.lr_scheduler is not None:

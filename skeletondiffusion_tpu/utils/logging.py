@@ -38,17 +38,20 @@ class MetricsLogger:
             for k, v in values.items():
                 self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
 
-    def log_param_norms(self, step: int, params, grads=None):
+    def log_param_norms(self, step: int, params, grads=None, grad_norm=None):
         """Per-tree global norms (the reference logs per-weight scalars every
         100 iterations, `tensorboard.py:58-96`; a global norm captures the
-        same signal at a fraction of the host cost)."""
+        same signal at a fraction of the host cost).  ``grad_norm``: a
+        precomputed (device) scalar — cheaper than shipping the grad tree."""
         if step % self.norms_every != 0:
             return
         pnorm = float(
             np.sqrt(sum(float((np.asarray(p, dtype=np.float64) ** 2).sum()) for p in jax.tree.leaves(params)))
         )
         vals = {"param_global_norm": pnorm}
-        if grads is not None:
+        if grad_norm is not None:
+            vals["grad_global_norm"] = float(grad_norm)
+        elif grads is not None:
             gnorm = float(
                 np.sqrt(sum(float((np.asarray(g, dtype=np.float64) ** 2).sum()) for g in jax.tree.leaves(grads)))
             )

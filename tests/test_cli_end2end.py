@@ -54,6 +54,10 @@ def test_two_stage_training_and_eval(data_root, monkeypatch):
     ae_out = os.path.join(data_root, "out_ae")
     ae_dir = train_ae_main(common + [
         "dataset=amass",
+        # non-default train-owned task key: eval must pick this up from the
+        # stored experiment config (checkpoint-true eval, reference
+        # `eval.py:161-166`; the published AMASS model uses 1.2)
+        "task.pose_box_size=1.2",
         f"output_log_path={ae_out}",
         "model.num_epochs=2",
         "model.batch_size=4",
@@ -109,6 +113,21 @@ def test_two_stage_training_and_eval(data_root, monkeypatch):
         assert key in results and np.isfinite(results[key]), results
     assert os.path.exists(os.path.join(data_root, "results.yaml"))
 
+    # checkpoint-true eval: the run above must have used the STORED
+    # task.pose_box_size=1.2; forcing the old eval-tree default 1.5 via an
+    # explicit override must rescale every prediction and change metrics
+    results_15 = eval_main(common + [
+        "dataset=amass",
+        f"checkpoint_path={diff_dir}",
+        "task.pose_box_size=1.5",
+        "stats_mode=deterministic",
+        "batch_size=8",
+        "num_samples=2",
+        f"results_path={data_root}/results_pbs15.yaml",
+    ])
+    assert abs(results_15["ADE"] - results["ADE"]) > 1e-6, (
+        results_15["ADE"], results["ADE"])
+
     # experiment-folder artifacts (reference `config.py:77-96`): config
     # snapshot + source self-copy
     import zipfile
@@ -125,6 +144,8 @@ def test_two_stage_training_and_eval(data_root, monkeypatch):
 
     session = InferenceSession(diff_dir, "amass", num_samples=3)
     sk = session.skeleton
+    # inference API is checkpoint-true too (stored pose_box_size wins)
+    assert sk.pose_box_size == 1.2, sk.pose_box_size
     obs = np.random.default_rng(0).standard_normal(
         (sk.obs_length, sk.num_joints, 3)
     ).astype(np.float32) * 0.2

@@ -22,6 +22,29 @@ def test_dryrun_multichip_4():
     ge.dryrun_multichip(4)
 
 
+def test_dryrun_multichip_self_provisions_like_the_driver():
+    """The driver imports __graft_entry__ and calls dryrun_multichip(8) in a
+    process with NO env preparation (possibly a single real device).  Simulate
+    that exactly: fresh interpreter, 1 visible CPU device, no XLA_FLAGS — the
+    function must re-exec itself onto a virtual 8-device mesh and succeed."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"  # no TPU in CI; 1 CPU device < 8 triggers respawn
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r}); "
+        "import jax; assert len(jax.devices()) == 1, jax.devices(); "
+        "import __graft_entry__ as ge; ge.dryrun_multichip(8)"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout, proc.stdout
+
+
 def test_amass_mano_denoiser_traces():
     from skeletondiffusion_tpu.diffusion.manager import create_diffusion
     from skeletondiffusion_tpu.skeleton import create_skeleton

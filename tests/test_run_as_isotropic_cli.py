@@ -1,0 +1,156 @@
+"""The documented run-as-isotropic entry point (reference README.md:325-340 +
+`configs/config_train_diffusion/model/skeleton_diffusion_run_code_as_isotropic.yaml`)
+through the CLI config path.
+
+Reference ground truth (verified empirically against `/root/reference` with
+torch on CPU, stubbing its external deps):
+
+* The shipped reference CONFIG path is dead code: with
+  ``diffusion_covariance_type: isotropic`` its
+  ``compute_covariance_matrices`` builds ``Lambda_t`` with shape [T,1] and
+  ``NonisotropicGaussianDiffusion.__init__`` crashes on a [T,1,1]@[N,N]
+  matmul (`nonisotropic.py:47-48,108`).  Our build fixes the broadcast —
+  the CLI entry actually trains.
+* The README's "exactly the same weights" claim does NOT hold in the
+  reference: for identical inputs the per-item WEIGHTED losses satisfy
+  ``noniso_run_as_iso = iso · √(1-ᾱ_t)`` (noniso applies the Mahalanobis
+  factor 1/√Λ̄_t with loss weight ᾱ_t, the isotropic codebase applies plain
+  |d| with SNR weight ᾱ_t/(1-ᾱ_t)).  The GENERATIVE process (q_sample,
+  posterior, sampling) IS identical — asserted below with shared trained
+  weights.
+"""
+import os
+
+import numpy as np
+import pytest
+
+J = 22
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("runiso")
+    pre = root / "datasets" / "processed" / "AMASS" / "hmp"
+    pre.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    positions = {
+        ds: {fi: rng.standard_normal((70, J, 3)).astype(np.float32) * 0.3 for fi in range(2)}
+        for ds in ("ACCAD", "CMU")
+    }
+    np.savez(pre / "data_3d_amass.npz", positions_3d=positions)
+
+    from skeletondiffusion_tpu.cli.train_autoencoder import main as train_ae_main
+
+    cwd = os.getcwd()
+    os.chdir("/root/repo")
+    try:
+        ae_dir = train_ae_main([
+            f"dataset_main_path={root}/datasets",
+            "task.history_sec=0.1", "task.prediction_horizon_sec=0.2",
+            "device_mesh.n_devices=1", "dataset=amass",
+            f"output_log_path={root}/ae",
+            "model.num_epochs=1", "model.batch_size=4", "model.num_iter_perepoch=2",
+            "model.latent_size=8",
+            "model.autoenc_arch.encoder_hidden_size=8",
+            "model.autoenc_arch.decoder_hidden_size=8",
+            "model.save_frequency=1",
+            "dataset.data_loader_train.datasets=[ACCAD, CMU]",
+            "dataset.data_loader_train.stride=4",
+        ])
+    finally:
+        os.chdir(cwd)
+    return str(root), ae_dir
+
+
+def _train_diffusion(root, ae_dir, model_cfg, out):
+    from skeletondiffusion_tpu.cli.train_diffusion import main as train_diff_main
+
+    cwd = os.getcwd()
+    os.chdir("/root/repo")
+    try:
+        return train_diff_main([
+            f"dataset_main_path={root}/datasets",
+            "task.history_sec=0.1", "task.prediction_horizon_sec=0.2",
+            "device_mesh.n_devices=1",
+            f"model={model_cfg}",
+            f"output_log_path={out}",
+            f"model.pretrained_autoencoder_path={ae_dir}/checkpoints",
+            "model.num_epochs=1", "model.batch_size=4", "model.num_iter_perepoch=3",
+            "model.train_pick_best_sample_among_k=2",
+            "model.diffusion_timesteps=4",
+            "model.diffusion_arch.depth=1",
+            "model.diffusion_arch.attn_heads=2",
+            "model.diffusion_arch.attn_dim_head=4",
+            "dataset.data_loader_train.datasets=[ACCAD, CMU]",
+            "dataset.data_loader_train.stride=4",
+        ])
+    finally:
+        os.chdir(cwd)
+
+
+def _params_vec(exp_dir):
+    import jax
+    import orbax.checkpoint as ocp
+
+    from skeletondiffusion_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(ckpt.latest_path())
+    return np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(raw["params"])])
+
+
+def test_run_as_isotropic_cli_trains_and_matches_isotropic_process(env):
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    root, ae_dir = env
+    d_noniso = _train_diffusion(root, ae_dir, "skeleton_diffusion_run_code_as_isotropic",
+                                os.path.join(root, "out_runiso"))
+    with open(os.path.join(d_noniso, "config.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg["if_run_as_isotropic"] is True
+    assert cfg["diffusion_covariance_type"] == "isotropic"
+
+    # same arch trained the isotropic way must accept the same param tree
+    d_iso = _train_diffusion(root, ae_dir, "isotropic_diffusion",
+                             os.path.join(root, "out_iso"))
+    p1, p2 = _params_vec(d_noniso), _params_vec(d_iso)
+    assert p1.shape == p2.shape
+    # (the reference's README equivalence claim is loose — see module
+    # docstring — so weights are close in direction but not bit-equal)
+
+    # generative-process equivalence: plug the run-as-iso trained weights
+    # into BOTH process types; sampling must agree exactly
+    from skeletondiffusion_tpu.cli.eval import merge_experiment_cfg
+    from skeletondiffusion_tpu.cli.common import build_skeleton
+    from skeletondiffusion_tpu.diffusion.manager import create_diffusion
+    from skeletondiffusion_tpu.train.checkpoint import CheckpointManager
+
+    cfg_m = merge_experiment_cfg({"checkpoint_path": d_noniso, **cfg})
+    skeleton = build_skeleton(cfg_m)
+    N, L = skeleton.num_nodes, cfg_m["latent_size"]
+    arch = dict(cfg_m["diffusion_arch"])
+    arch.pop("arch", None)
+    diff_runiso, den = create_diffusion(
+        skeleton, diffusion_type="NonisotropicGaussianDiffusion",
+        covariance_matrix_type=cfg_m.get("covariance_matrix_type", "adjacency"),
+        if_run_as_isotropic=True, diffusion_covariance_type="isotropic",
+        latent_size=L, diffusion_conditioning=True,
+        diffusion_timesteps=cfg_m["diffusion_timesteps"], diffusion_arch=arch,
+    )
+    diff_iso, _ = create_diffusion(
+        skeleton, diffusion_type="IsotropicGaussianDiffusion",
+        latent_size=L, diffusion_conditioning=True,
+        diffusion_timesteps=cfg_m["diffusion_timesteps"], diffusion_arch=arch,
+    )
+    target = den.init(jax.random.key(0), jnp.zeros((2, N, L)),
+                      jnp.zeros((2,), jnp.int32), jnp.zeros((2, N, L)))
+    ckpt = CheckpointManager(os.path.join(d_noniso, "checkpoints"))
+    params = ckpt.restore_partial({"params": target}, ckpt.latest_path())["params"]
+    params = jax.tree.map(jnp.asarray, params)
+    cond = jax.random.normal(jax.random.key(7), (3, N, L)) * 0.3
+    s1, _ = diff_runiso.sample(params, jax.random.key(11), batch_size=3, x_cond=cond)
+    s2, _ = diff_iso.sample(params, jax.random.key(11), batch_size=3, x_cond=cond)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
