@@ -17,6 +17,13 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+# statistics file names (reference `base_dataset.py:8-11`)
+MEAN_NAME = "mean_landmarks.npy"
+VAR_NAME = "var_landmarks.npy"
+MIN_NAME = "min_landmarks.npy"
+MAX_NAME = "max_landmarks.npy"
+NORMALIZATION_TYPES = ("standardize", "normalize")
+
 
 class BaseDataset:
     """Segment bookkeeping over a list of clips; reference
@@ -33,6 +40,8 @@ class BaseDataset:
         if_consider_hip: bool = False,
         silent: bool = False,
         rng_seed: int = 0,
+        normalize_data: bool = False,
+        normalize_type: str = "standardize",
         **kwargs,
     ):
         self.silent = silent
@@ -53,7 +62,14 @@ class BaseDataset:
         self.if_consider_hip = if_consider_hip
         self.mm_indces = None
         self._rng = np.random.default_rng(rng_seed)
+        self.normalize_data = normalize_data
+        assert normalize_type in NORMALIZATION_TYPES, normalize_type
+        self.normalize_type = normalize_type
         self._prepare_data()
+        if self.normalize_data:
+            # the reference declares this path but blocks it with an assert
+            # (`base_dataset.py:56`); here it actually works
+            self._load_or_generate_statistics()
 
     def state_dict(self):
         """Checkpointable augmentation-jitter RNG (bit-faithful resume;
@@ -78,6 +94,8 @@ class BaseDataset:
             segment_idx = max(0, min(segment_idx + offset, len(self.segments) - 1))
         i, init, end = self.segments[segment_idx]
         obs, pred = self._get_segment(i, init, end)
+        if self.normalize_data:
+            obs, pred = self.normalize(obs), self.normalize(pred)
         return obs, pred, {
             "sample_idx": sample_idx,
             "clip_idx": i,
@@ -174,6 +192,45 @@ class BaseDataset:
             for i, (idx, init, end) in enumerate(self.segments) if i in remap
         ]
         self.segment_idx_to_metadata = [self.segment_idx_to_metadata[i] for i in keep]
+
+    # ---- per-landmark statistics + normalization ---------------------------
+    def _load_or_generate_statistics(self):
+        """Per-landmark mean/var/min/max over every annotation frame, cached
+        under ``<precomputed>/statistics/``; reference
+        `base_dataset.py:221-243` (``_generate_statistics_full``)."""
+        stats_dir = os.path.join(self.precomputed_folder, "statistics")
+        paths = {name: os.path.join(stats_dir, fname) for name, fname in
+                 (("mean", MEAN_NAME), ("var", VAR_NAME),
+                  ("min", MIN_NAME), ("max", MAX_NAME))}
+        if not all(os.path.exists(p) for p in paths.values()):
+            os.makedirs(stats_dir, exist_ok=True)
+            ps = np.concatenate(self.annotations, axis=0)  # [frames, J, 3]
+            np.save(paths["mean"], ps.mean(axis=0))
+            np.save(paths["var"], ps.var(axis=0))
+            np.save(paths["min"], ps.min(axis=0))
+            np.save(paths["max"], ps.max(axis=0))
+        elif not self.silent:
+            print("Skipping statistics generation...")
+        self.mean = np.load(paths["mean"], allow_pickle=True).astype(self.dtype)
+        self.var = np.load(paths["var"], allow_pickle=True).astype(self.dtype)
+        self.min = np.load(paths["min"], allow_pickle=True).astype(self.dtype)
+        self.max = np.load(paths["max"], allow_pickle=True).astype(self.dtype)
+
+    def normalize(self, x: np.ndarray) -> np.ndarray:
+        """Reference `base_dataset.py:246-252`."""
+        if self.normalize_type == "standardize":
+            return (x - self.mean) / np.sqrt(self.var)
+        return 2 * (x - self.min) / (self.max - self.min) - 1
+
+    def denormalize(self, x: np.ndarray, idces=None) -> np.ndarray:
+        """Inverse transform; ``idces`` selects a landmark subset (e.g. when
+        the root was re-inserted downstream); reference
+        `base_dataset.py:254-272`."""
+        if idces is None:
+            idces = list(range(x.shape[-2]))
+        if self.normalize_type == "standardize":
+            return np.sqrt(self.var[idces]) * x + self.mean[idces]
+        return (x + 1) * (self.max[idces] - self.min[idces]) / 2 + self.min[idces]
 
     def _load_mean_motion(self, task: str = "hmp"):
         """CMD reference statistics; reference `base_dataset.py:82-107`."""
@@ -302,7 +359,10 @@ class MotionDataset(BaseDataset):
     def __getitem__(self, idx: int):
         obs, pred, extra = super().__getitem__(idx)
         if self.if_load_mmgt and self.mm_indces is not None:
-            extra["mm_gt"] = self._get_mmgt_for_segment(extra["segment_idx"])
+            mm_gt = self._get_mmgt_for_segment(extra["segment_idx"])
+            if self.normalize_data:
+                mm_gt = self.normalize(mm_gt)  # reference `motion_dataset.py:122-123`
+            extra["mm_gt"] = mm_gt
         return obs, pred, extra
 
     def iter_thourgh_seqs(self):

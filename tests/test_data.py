@@ -144,3 +144,65 @@ def test_extended_obs_length_revalidation(fixture_dir, skeleton):
     assert 0 < len(ext.segments) <= len(base.segments)
     obs, pred, extra = ext[0]
     assert obs.shape[0] == OBS + 2 and pred.shape[0] == PRED
+
+
+def test_normalize_data_stats_path(fixture_dir, skeleton):
+    """Standardize/normalize stats path (reference `base_dataset.py:221-271`
+    + `src/core/utils/stats.py`) — the reference blocks it with an assert;
+    here it must actually work and round-trip."""
+    ds = AMASSDataset(
+        datasets=["ACCAD"], split="train", precomputed_folder=fixture_dir,
+        skeleton=skeleton, obs_length=OBS, pred_length=PRED,
+        if_consider_hip=False, silent=True,
+        normalize_data=True, normalize_type="standardize",
+    )
+    # statistics files materialized in the precomputed folder
+    stats_dir = os.path.join(fixture_dir, "statistics")
+    for f in ("mean_landmarks.npy", "var_landmarks.npy",
+              "min_landmarks.npy", "max_landmarks.npy"):
+        assert os.path.exists(os.path.join(stats_dir, f)), f
+
+    obs, pred, _ = ds[0]
+    # standardized output differs from raw and denormalize round-trips
+    raw_obs, raw_pred = ds._get_segment(*ds.segments[0])
+    assert not np.allclose(obs, raw_obs)
+    np.testing.assert_allclose(ds.denormalize(obs), raw_obs, rtol=1e-4, atol=1e-5)
+    # full-split standardization: ~zero mean, ~unit variance per landmark
+    ps = np.concatenate([ds.normalize(a) for a in ds.annotations], axis=0)
+    np.testing.assert_allclose(ps.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(ps.var(axis=0), 1.0, atol=1e-3)
+
+    ds2 = AMASSDataset(
+        datasets=["ACCAD"], split="train", precomputed_folder=fixture_dir,
+        skeleton=skeleton, obs_length=OBS, pred_length=PRED,
+        if_consider_hip=False, silent=True,
+        normalize_data=True, normalize_type="normalize",
+    )
+    obs2, _, _ = ds2[0]
+    assert obs2.min() >= -1.0 - 1e-6 and obs2.max() <= 1.0 + 1e-6
+    np.testing.assert_allclose(ds2.denormalize(obs2), raw_obs, rtol=1e-4, atol=1e-5)
+    # denormalize with a landmark subset
+    sub = ds2.denormalize(obs2[..., :5, :], idces=list(range(5)))
+    np.testing.assert_allclose(sub, raw_obs[..., :5, :], rtol=1e-4, atol=1e-5)
+
+    # mm-GT is normalized too (reference `motion_dataset.py:122-123`)
+    if not os.path.exists(os.path.join(fixture_dir, "mmgt_test.txt")):
+        tmp = AMASSDataset(
+            datasets=["ACCAD", "CMU"], split="test", precomputed_folder=fixture_dir,
+            skeleton=skeleton, obs_length=OBS, pred_length=PRED,
+            segments_path=os.path.join(fixture_dir, "segments_test.csv"),
+            if_consider_hip=False, silent=True,
+        )
+        compute_multimodal_gt_for_dataset(
+            tmp, skeleton, multimodal_threshold=3.0,
+            dest_path=os.path.join(fixture_dir, "mmgt_test.txt"),
+        )
+    ds3 = AMASSDataset(
+        datasets=["ACCAD", "CMU"], split="test", precomputed_folder=fixture_dir,
+        skeleton=skeleton, obs_length=OBS, pred_length=PRED,
+        segments_path=os.path.join(fixture_dir, "segments_test.csv"),
+        if_consider_hip=False, silent=True, if_load_mmgt=True,
+        normalize_data=True, normalize_type="standardize",
+    )
+    _, pred3, extra3 = ds3[0]
+    assert np.abs(extra3["mm_gt"]).max() < 20  # standardized scale
