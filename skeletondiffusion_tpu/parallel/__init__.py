@@ -7,10 +7,12 @@ from .mesh import (
     replicate,
     replicated,
     shard_batch,
+    shard_batch_global,
     shard_params_model_axis,
 )
 
 __all__ = [
     "batch_sharding", "create_mesh", "maybe_initialize_distributed",
-    "replicate", "replicated", "shard_batch", "shard_params_model_axis",
+    "replicate", "replicated", "shard_batch", "shard_batch_global",
+    "shard_params_model_axis",
 ]

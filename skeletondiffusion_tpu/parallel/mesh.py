@@ -66,6 +66,19 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_batch_global(mesh: Mesh, tree: Any) -> Any:
+    """Multi-process (DCN) variant of :func:`shard_batch`: every process
+    passes its LOCAL slice of the batch; returns global arrays whose batch
+    axis spans the full 'data' axis across hosts
+    (``jax.make_array_from_process_local_data`` — ``jax.device_put`` cannot
+    target non-addressable devices).  Single-process it equals
+    ``shard_batch``."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), tree
+    )
+
+
 def shard_params_model_axis(mesh: Mesh, params: Any, min_size: int = 2**16) -> Any:
     """Tensor-parallel layout: shard large weight tensors' LAST dimension
     (output features) over the 'model' axis where divisible; everything else
