@@ -222,8 +222,8 @@ def gru_rollout_pallas(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec((N, 3 * Hp, Hp), full3, memory_space=pltpu.VMEM),
             pl.BlockSpec((N, 3 * Hp), full2, memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), full2, memory_space=pltpu.VMEM),
@@ -232,7 +232,7 @@ def gru_rollout_pallas(
             pl.BlockSpec((N, LANE), full2, memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), full2, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         out_shape=jax.ShapeDtypeStruct((ph, N, 8, B), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
