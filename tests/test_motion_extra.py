@@ -72,3 +72,58 @@ def test_config_values_match_reference_yamls():
         ours, ref = load(ours_path), load(ref_path)
         for k in keys:
             assert ours[k] == ref[k], (ours_path, k, ours[k], ref[k])
+
+
+def test_plot_stack_renders(tmp_path):
+    """Visualization stack: grid animation (obs→GT+preds), frame rendering,
+    gif/img IO, keypoint helpers (reference `src/utils/{plot,plot_parallel,
+    image,keypoints}.py`)."""
+    import numpy as np
+
+    from skeletondiffusion_tpu.skeleton import create_skeleton
+    from skeletondiffusion_tpu.utils.keypoints import (
+        center_kpts_around_hip,
+        center_kpts_around_hip_and_drop_root,
+        rotate_y_axis,
+    )
+    from skeletondiffusion_tpu.utils.plot import (
+        animate_prediction_grid,
+        load_image,
+        render_motion_frames,
+        save_gif,
+        save_img,
+    )
+
+    sk = create_skeleton(
+        dataset_name="amass", motion_repr_type="SkeletonRescalePose", num_joints=22,
+        pose_box_size=1.5, obs_length=3, pred_length=4, if_consider_hip=True,
+    )
+    rng = np.random.default_rng(0)
+    obs = rng.standard_normal((3, 22, 3)) * 0.2
+    target = rng.standard_normal((4, 22, 3)) * 0.2
+    preds = [rng.standard_normal((4, 22, 3)) * 0.2 for _ in range(2)]
+
+    out = animate_prediction_grid(obs, target, preds, sk,
+                                  titles=["closest", "diverse"],
+                                  out_path=str(tmp_path / "grid.gif"), fps=5)
+    import os
+    assert os.path.getsize(out) > 0
+
+    frames = render_motion_frames(target, sk.get_limbseq(),
+                                  getattr(sk, "left_right_limb", None),
+                                  overlay=preds[0], title="t")
+    assert frames.shape[0] == 4 and frames.shape[-1] == 3 and frames.dtype == np.uint8
+
+    gif = save_gif(frames, fps=5, name=str(tmp_path / "f.gif"))
+    assert os.path.getsize(gif) > 0
+    img = save_img(frames[0], str(tmp_path / "f0.png"))
+    loaded = load_image(img)
+    assert loaded.shape[:2] == frames[0].shape[:2]
+
+    centered, hip = center_kpts_around_hip(obs)
+    assert np.allclose(centered[..., 0, :], 0)
+    body = center_kpts_around_hip_and_drop_root(obs)
+    assert body.shape == (3, 21, 3)
+    rot = rotate_y_axis(obs, 180.0)
+    np.testing.assert_allclose(rot[..., 1], obs[..., 1], atol=1e-12)  # y preserved
+    np.testing.assert_allclose(rotate_y_axis(rot, 180.0), obs, atol=1e-12)
