@@ -90,14 +90,16 @@ class SkeletonDiffusionPredictor:
                 prep_fused_denoiser,
             )
 
-            # piggyback the one-time weight prep (node gathers, pads, casts)
-            # on the engine's pre-scan cond_embed hook: u_cond is opaque to
-            # the sampling loop, so ship {u, prep} through it and none of the
-            # prep re-executes per diffusion step
+            # the weight prep (node gathers, pads, casts) depends only on the
+            # fixed eval params — run it ONCE at construction and close over
+            # the device arrays; re-running it inside every sample() program
+            # measured 42 ms/call at the bench batch.  u_cond is opaque to
+            # the sampling loop, so ship {u, prep} through the cond hook.
+            prepped = jax.jit(lambda p: prep_fused_denoiser(den, p))(diff_params)
             orig_cond_embed = diffusion.cond_embed
             diffusion.cond_embed = lambda params, xc: {
                 "u": orig_cond_embed(params, xc),
-                "prep": prep_fused_denoiser(den, params),
+                "prep": prepped,
             }
             diffusion.model_apply_ucond = (
                 lambda params, x, t, uc: fused_denoiser_apply(

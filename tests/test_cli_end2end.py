@@ -128,6 +128,21 @@ def test_two_stage_training_and_eval(data_root, monkeypatch):
     assert abs(results_15["ADE"] - results["ADE"]) > 1e-6, (
         results_15["ADE"], results["ADE"])
 
+    # observability depth (reference `src/utils/tensorboard.py:58-122`):
+    # per-iteration loss/lr records + param/grad norm rows in metrics.jsonl
+    import json
+
+    for exp in (ae_dir, diff_dir):
+        prefixes = set()
+        with open(os.path.join(exp, "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                prefixes.add(rec.get("prefix"))
+                if rec.get("prefix") == "norms":
+                    assert "param_global_norm" in rec and "grad_global_norm" in rec, rec
+        assert "train_iter" in prefixes, (exp, prefixes)
+        assert "norms" in prefixes, (exp, prefixes)
+
     # experiment-folder artifacts (reference `config.py:77-96`): config
     # snapshot + source self-copy
     import zipfile
