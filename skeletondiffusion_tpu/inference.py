@@ -32,14 +32,16 @@ def load_model_config_exp(checkpoint_path: str) -> Tuple[Dict, str]:
 
 def quick_cfg_for_inference(
     checkpoint_path: str, dataset_name: str, num_samples: int = 50,
-    config_dir: str = "configs/config_eval",
+    config_dir: str = "configs/config_eval", overrides=None,
 ) -> Dict:
-    """Reference `inference_utils.py:23-51` without Hydra."""
+    """Reference `inference_utils.py:23-51` without Hydra.  ``overrides``:
+    extra dotted CLI-style overrides (e.g. ``["task.history_sec=0.1"]``)."""
     cfg = flatten_config(
         load_config(config_dir, [
             f"dataset={dataset_name}", "dataset_split=valid", "stats_mode=deterministic",
             f"num_samples={num_samples}", "batch_size=1",
             f"checkpoint_path={checkpoint_path}",
+            *(overrides or []),
         ])
     )
     cfg_orig, _ = load_model_config_exp(checkpoint_path)
@@ -56,8 +58,10 @@ class InferenceSession:
     """obs [T,J,3] or [B,T,J,3] raw metric poses → ranked predicted futures."""
 
     def __init__(self, checkpoint_path: str, dataset_name: str = "amass",
-                 num_samples: int = 50, config_dir: str = "configs/config_eval"):
-        cfg = quick_cfg_for_inference(checkpoint_path, dataset_name, num_samples, config_dir)
+                 num_samples: int = 50, config_dir: str = "configs/config_eval",
+                 overrides=None):
+        cfg = quick_cfg_for_inference(checkpoint_path, dataset_name, num_samples,
+                                      config_dir, overrides=overrides)
         self.cfg = cfg
         self.skeleton = create_skeleton(
             dataset_name=cfg["dataset_name"], motion_repr_type=cfg["motion_repr_type"],

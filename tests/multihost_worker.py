@@ -12,11 +12,19 @@ import sys
 
 def main(process_id: int, port: int) -> None:
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # shared compilation cache: BOTH processes must reach the first collective
+    # within Gloo's ~30 s KV-store timeout, so compile skew between them must
+    # stay small (cache hits make re-runs near-instant)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_skeldiff")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}", num_processes=2,
         process_id=process_id,
