@@ -69,6 +69,12 @@ class GaussianDiffusion:
         assert self.sampling_timesteps <= process.num_timesteps
         self.is_ddim_sampling = self.sampling_timesteps < process.num_timesteps
         self.ddim_sampling_eta = ddim_sampling_eta
+        # optional fully-fused sampling step on the node-major padded latent
+        # layout: sample_step_nm(params, img_nm [N,B,Dp], t, u_cond_obj,
+        # noise_nm [N,B,Dp]) -> img_nm.  Set by the eval predictor when the
+        # Pallas denoiser+posterior kernels apply (pred_x0 + clip + identity);
+        # see ops/pallas/{denoiser_fused,posterior_step}.py.
+        self.sample_step_nm = None
 
     # ---- network interface -------------------------------------------------
     def feed_model(self, params, x: Array, t: Array, x_cond: Optional[Array] = None) -> Array:
@@ -184,6 +190,37 @@ class GaussianDiffusion:
         u_cond = None
         if self.cond_embed is not None and self.model_apply_ucond is not None and x_cond is not None:
             u_cond = self.cond_embed(params, x_cond)
+
+        if (
+            u_cond is not None
+            and self.sample_step_nm is not None
+            and self.objective == "pred_x0"
+            and self.clip_denoised
+            and self.activation == "identity"
+        ):
+            # fully-fused path: carry the latent NODE-MAJOR and feature-PADDED
+            # ([N, B, Dp]) across the scan — the Pallas denoiser consumes and
+            # produces this layout directly and the posterior update runs as
+            # one kernel, so no per-step transposes/pads/slices hit HBM.
+            # Noise is still drawn in [B,N,D] order with the same fold_in
+            # schedule, so samples are bit-identical to the plain path.
+            d = shape[-1]
+            dp = -(-d // 128) * 128
+            to_nm = lambda a: jnp.pad(
+                jnp.swapaxes(a, 0, 1), ((0, 0), (0, 0), (0, dp - d))
+            )
+
+            def step_nm(carry, t):
+                img_nm, = carry
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng_steps, t), shape, dtype=jnp.float32
+                )
+                img_nm = self.sample_step_nm(params, img_nm, t, u_cond, to_nm(noise))
+                return (img_nm,), None
+
+            ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+            (img_nm,), _ = jax.lax.scan(step_nm, (to_nm(img),), ts)
+            return jnp.swapaxes(img_nm[:, :, :d], 0, 1), start_noise
 
         def step(carry, t):
             img, = carry

@@ -238,6 +238,19 @@ class NonisotropicProcess:
             precision=jax.lax.Precision.HIGHEST,
         )
 
+    def posterior_step_tables(self) -> Array:
+        """[T, N, 3N] per-step matrices [P1_t | P2_t | U·diag(e^{½logΛ_t})]
+        for the fused sampling-step kernel (`ops/pallas/posterior_step.py`):
+        x_{t-1} = P1_t·clip(x̂₀) + P2_t·x_t + Uσ_t·ε.  The noise block is
+        zeroed at t=0 (the reference's ``t > 0`` mask, `base.py:353`)."""
+        sigma = jnp.exp(0.5 * self.Lambda_posterior_log_variance_clipped)  # [T,N]
+        u_sigma = self.U[None, :, :] * sigma[:, None, :]  # U·diag(σ_t)
+        u_sigma = u_sigma.at[0].set(0.0)
+        return jnp.concatenate(
+            [self.posterior_mean_coef1_x0, self.posterior_mean_coef2_xt, u_sigma],
+            axis=-1,
+        )
+
 
 def build_isotropic_process(
     timesteps: int = 10,

@@ -106,6 +106,35 @@ class SkeletonDiffusionPredictor:
                     den, params, x, t, uc["u"], prepped=uc["prep"]
                 )
             )
+            # fully-fused sampling step (node-major padded carry + one-kernel
+            # posterior update) for the flagship configuration; the engine
+            # guards on pred_x0 + clip + identity before taking this path
+            from .diffusion.process import NonisotropicProcess
+            from .ops.pallas.denoiser_fused import fused_denoiser_core_nm
+            from .ops.pallas.posterior_step import posterior_step_pallas
+
+            if isinstance(diffusion.process, NonisotropicProcess):
+                tables = jax.jit(diffusion.process.posterior_step_tables)()
+                f_pad = 256
+
+                def sample_step_nm(params, img_nm, t, uc, noise_nm):
+                    mo = fused_denoiser_core_nm(
+                        den, params, img_nm, t, uc["u_pad"], prepped=uc["prep"]
+                    )
+                    return posterior_step_pallas(mo, img_nm, noise_nm, tables[t])
+
+                base_cond_embed = diffusion.cond_embed
+
+                def cond_embed_nm(params, xc):
+                    out = dict(base_cond_embed(params, xc))
+                    u = out["u"]
+                    out["u_pad"] = jnp.pad(
+                        u, ((0, 0), (0, 0), (0, f_pad - u.shape[-1]))
+                    )
+                    return out
+
+                diffusion.cond_embed = cond_embed_nm
+                diffusion.sample_step_nm = sample_step_nm
             self.use_fused_denoiser = True
         else:
             self.use_fused_denoiser = False

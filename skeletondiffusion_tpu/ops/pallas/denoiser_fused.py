@@ -29,10 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..attention import ResnetBlock, sinusoidal_pos_emb
+from ..attention import sinusoidal_pos_emb
 from ..graph_linear import StaticGraphLinear, gmm_nm, gmix_nm, l1_normalize_rows
 from .resnet_block import (
     _pad_last,
+    final_block_head_pallas_padded,
     pad_film,
     prep_resnet_params,
     resnet_block_pallas_padded,
@@ -91,6 +92,34 @@ def prep_fused_denoiser(den, variables: dict, f_pad: int = 256) -> dict:
         g=l1_normalize_rows(fg["G"]).astype(cdt),
     )
 
+    # rectangular final block (2F→F, `generator.py:103-105`): block1 and the
+    # res_linear projection keep their x-/r-half rows separately padded so
+    # the kernel can consume the UNCONCATENATED x and skip streams
+    fb = p["final_res_block"]
+
+    def _rect_w(w):  # [N, 2F, F] → [N, 2·f_pad, f_pad], zero pad rows/cols
+        halves = [
+            jnp.pad(w[:, :F, :], ((0, 0), (0, f_pad - F), (0, 0))),
+            jnp.pad(w[:, F:, :], ((0, 0), (0, f_pad - F), (0, 0))),
+        ]
+        return _pad_last(jnp.concatenate(halves, axis=1), f_pad).astype(cdt)
+
+    fb1 = fb["block1"]["proj"]
+    fb2 = fb["block2"]["proj"]
+    fbr = fb["res_linear"]
+    final = dict(
+        w1=_rect_w(fb1["weight"][idx]),
+        b1=_pad_last(fb1["bias"][idx], f_pad).astype(cdt),
+        g1=l1_normalize_rows(fb1["G"]).astype(cdt),
+        wr=_rect_w(fbr["weight"][idx]),
+        gr=l1_normalize_rows(fbr["G"]).astype(cdt),
+        w2=_pad_last(jnp.pad(fb2["weight"][idx], ((0, 0), (0, f_pad - F), (0, 0))), f_pad).astype(cdt),
+        b2=_pad_last(fb2["bias"][idx], f_pad).astype(cdt),
+        g2=l1_normalize_rows(fb2["G"]).astype(cdt),
+        film_k=fb["mlp"]["kernel"],
+        film_b=fb["mlp"]["bias"],
+    )
+
     attns = []
     for i in range(2 * den.depth - 1):
         ap = p[f"attn{i}"]
@@ -107,7 +136,8 @@ def prep_fused_denoiser(den, variables: dict, f_pad: int = 256) -> dict:
             w_out=_pad_last(a["to_out"]["weight"][idx], f_pad).astype(cdt),
             g_out=l1_normalize_rows(a["to_out"]["G"]).astype(cdt),
         ))
-    return {"blocks": blocks, "attns": attns, "stem": stem, "head": head}
+    return {"blocks": blocks, "attns": attns, "stem": stem, "head": head,
+            "final": final}
 
 
 def _attention_padded(
@@ -148,39 +178,59 @@ def fused_denoiser_apply(
     batch_tile: int = 64,
     interpret: bool = False,
 ) -> Array:
+    lat_pad = -(-den.dim // 128) * 128
+    x_nm = _pad_last(jnp.swapaxes(x, 0, 1), lat_pad)
+    u_pad = _pad_last(u_cond, f_pad)
+    out = fused_denoiser_core_nm(
+        den, variables, x_nm, time, u_pad,
+        prepped=prepped, f_pad=f_pad, batch_tile=batch_tile, interpret=interpret,
+    )
+    return jnp.swapaxes(out[:, :, : den.out_dim], 0, 1).astype(jnp.float32)
+
+
+def fused_denoiser_core_nm(
+    den,                 # models.denoiser.Denoiser module (config source)
+    variables: dict,
+    x_nm: Array,         # [N, B, lat_pad] node-major latents, zero pad cols
+    time: Array,         # scalar int
+    u_pad: Array,        # [N, B, f_pad] hoisted conditioning, zero pad cols
+    *,
+    prepped: Optional[dict] = None,
+    f_pad: int = 256,
+    batch_tile: int = 64,
+    interpret: bool = False,
+) -> Array:
+    """Node-major core: the whole denoiser on the PADDED pipeline with no
+    entry/exit transposes — the sampling scan carries [N, B, Dp] latents
+    (see ``diffusion.engine.p_sample_loop``'s fused branch) so this returns
+    the head output still node-major and column-padded to 128
+    ([N, B, 128], compute dtype, zero pad cols)."""
     p = variables["params"]
     N = den.channels
     diffusion_size = den.dim + den.cond_dim
     cdt = jnp.dtype(den.compute_dtype) if den.compute_dtype else jnp.float32
     if prepped is None:
         prepped = prep_fused_denoiser(den, variables, f_pad=f_pad)
-    common = dict(
-        num_nodes=N, node_types=den.node_types,
-        learn_influence=den.learn_influence, node_major=True,
-        compute_dtype=den.compute_dtype,
-    )
 
     # pad the batch to a tile multiple (static under jit; last eval batches
     # may be ragged)
-    B0 = x.shape[0]
+    B0 = x_nm.shape[1]
     Bp = -(-B0 // batch_tile) * batch_tile
     if Bp != B0:
-        x = jnp.pad(x, ((0, Bp - B0), (0, 0), (0, 0)))
-        u_cond = jnp.pad(u_cond, ((0, 0), (0, Bp - B0), (0, 0)))
+        x_nm = jnp.pad(x_nm, ((0, 0), (0, Bp - B0), (0, 0)))
+        u_pad = jnp.pad(u_pad, ((0, 0), (0, Bp - B0), (0, 0)))
 
     # input projection on the hoisted-conditioning path (Denoiser.__call__,
     # u_cond branch): one-pass graph-linear kernel, output directly on the
     # 256-padded pipeline
     from .graph_linear_fused import graph_linear_pallas
 
-    lat_pad = -(-den.dim // 128) * 128
-    x = _pad_last(jnp.swapaxes(x, 0, 1).astype(cdt), lat_pad)
-    u_pad = _pad_last(u_cond.astype(cdt), f_pad)
     xp = graph_linear_pallas(
-        x, prepped["stem"]["w"], prepped["stem"]["b"], prepped["stem"]["g"],
-        u=u_pad, batch_tile=batch_tile, interpret=interpret,
+        x_nm.astype(cdt), prepped["stem"]["w"], prepped["stem"]["b"],
+        prepped["stem"]["g"],
+        u=u_pad.astype(cdt), batch_tile=batch_tile, interpret=interpret,
     )  # [N, Bp, f_pad], pad cols zero
-    r = xp[:, :, :diffusion_size]
+    rp = xp  # long-skip stream stays on the padded pipeline
 
     # time embedding MLP (scalar t → [1, time_dim])
     time = jnp.atleast_1d(jnp.asarray(time))
@@ -206,20 +256,17 @@ def fused_denoiser_apply(
                 prepped["attns"][i], xp, den.attn_heads, den.attn_dim_head,
                 batch_tile=batch_tile, interpret=interpret,
             )
-    x = xp[:, :, :diffusion_size]
-
-    # long skip + final block (XLA: the 2F-wide final block would not fit
-    # the kernel's VMEM budget and runs once per step) + fused head
-    x = jnp.concatenate([x, r], axis=-1)
-    x = ResnetBlock(
-        diffusion_size * 2, diffusion_size, num_nodes=N,
-        time_emb_dim=diffusion_size * 4, node_types=den.node_types,
-        learn_influence=den.learn_influence, node_major=True,
-        compute_dtype=den.compute_dtype,
-    ).apply({"params": p["final_res_block"]}, x, t)
-    x = graph_linear_pallas(
-        _pad_last(x.astype(cdt), f_pad),
+    # rectangular final block (2F→F long-skip ResnetBlock) + output head,
+    # fused on the padded pipeline — neither the x‖r concat nor the block
+    # output ever hits HBM (resnet_block.py::final_block_head_pallas_padded)
+    fbl = prepped["final"]
+    film_f = tt @ fbl["film_k"] + fbl["film_b"]  # [1, 2F]
+    filmp_f = pad_film(film_f, diffusion_size, f_pad).astype(cdt)
+    out = final_block_head_pallas_padded(
+        xp, rp, filmp_f, fbl["w1"], fbl["b1"], fbl["g1"],
+        fbl["wr"], fbl["gr"], fbl["w2"], fbl["b2"], fbl["g2"],
         prepped["head"]["w"], prepped["head"]["b"], prepped["head"]["g"],
-        batch_tile=batch_tile, interpret=interpret,
-    )[:, :, : den.out_dim]
-    return jnp.swapaxes(x, 0, 1).astype(jnp.float32)[:B0]
+        batch_tile_in=min(batch_tile, 32), batch_tile_out=batch_tile,
+        interpret=interpret,
+    )  # [N, Bp, 128], zero pad cols
+    return out[:, :B0] if Bp != B0 else out

@@ -201,6 +201,196 @@ def resnet_block_pallas(
     return out[:, :, :F]
 
 
+def _rect_in_kernel(
+    x_ref,       # [N, bt, Fp] mid-section activations (compute dtype)
+    r_ref,       # [N, bt, Fp] long-skip activations
+    film_ref,    # [1, 2·Fp] (scale ‖ shift) for block1
+    w1_ref,      # [N, 2·Fp, Fp] block1 weights (x-half rows 0:Fp, r-half Fp:)
+    b1_ref,      # [N, Fp]
+    g1_ref,      # [N, N]
+    wr_ref,      # [N, 2·Fp, Fp] residual-projection weights (same row split)
+    gr_ref,      # [N, N]
+    h_out,       # [N, bt, Fp] block1 output (post FiLM + tanh)
+    res_out,     # [N, bt, Fp] residual projection
+    h_scr,       # VMEM [N, bt, Fp]
+    *,
+    num_nodes: int,
+    f_pad: int,
+    batch_tile: int,
+):
+    """First pass of the RECTANGULAR (2F→F) final ResnetBlock: the long-skip
+    concat never materializes — block1 and the graph-linear residual each run
+    as two half-weight dots on the separate x/r streams.  One read of x and
+    r covers both outputs; the two [N,2Fp,Fp] banks bound the tile at 32."""
+    N, Fp, bt = num_nodes, f_pad, batch_tile
+    dt = x_ref.dtype
+    x = x_ref[...]
+    r = r_ref[...]
+
+    def two_dot(w_ref, n):
+        return jax.lax.dot_general(
+            x[n], w_ref[n, :Fp], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            r[n], w_ref[n, Fp:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for n in range(N):
+        h_scr[n] = (two_dot(w1_ref, n) + b1_ref[n][None, :]).astype(dt)
+    h = jax.lax.dot_general(
+        g1_ref[...], h_scr[...].reshape(N, bt * Fp), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(N, bt, Fp)
+    scale = film_ref[0, :Fp]
+    shift = film_ref[0, Fp:]
+    h_out[...] = jnp.tanh(
+        h * (scale[None, None, :] + 1.0) + shift[None, None, :]
+    ).astype(dt)
+
+    for n in range(N):
+        h_scr[n] = two_dot(wr_ref, n).astype(dt)
+    res_out[...] = jax.lax.dot_general(
+        gr_ref[...], h_scr[...].reshape(N, bt * Fp), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(N, bt, Fp).astype(dt)
+
+
+def _rect_out_head_kernel(
+    h_ref,       # [N, bt, Fp] block1 output
+    res_ref,     # [N, bt, Fp] residual projection
+    w2_ref,      # [N, Fp, Fp]
+    b2_ref,      # [N, Fp]
+    g2_ref,      # [N, N]
+    wh_ref,      # [N, Fp, Ho] output-head weights
+    bh_ref,      # [N, Ho]
+    gh_ref,      # [N, N]
+    out_ref,     # [N, bt, Ho]
+    f_scr,       # VMEM [N, bt, Fp]
+    o_scr,       # VMEM [N, bt, Ho]
+    *,
+    num_nodes: int,
+    f_pad: int,
+    h_out: int,
+    batch_tile: int,
+):
+    """Second pass: block2 (no FiLM) + residual add + the denoiser's output
+    head (`final_glin`, `generator.py:106`) — the final-block output never
+    round-trips HBM before the head projection."""
+    N, Fp, Ho, bt = num_nodes, f_pad, h_out, batch_tile
+    dt = h_ref.dtype
+    h = h_ref[...]
+    for n in range(N):
+        f_scr[n] = (
+            jax.lax.dot_general(
+                h[n], w2_ref[n], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b2_ref[n][None, :]
+        ).astype(dt)
+    h2 = jax.lax.dot_general(
+        g2_ref[...], f_scr[...].reshape(N, bt * Fp), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(N, bt, Fp)
+    o = (jnp.tanh(h2) + res_ref[...].astype(jnp.float32)).astype(dt)
+    for n in range(N):
+        o_scr[n] = (
+            jax.lax.dot_general(
+                o[n], wh_ref[n], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bh_ref[n][None, :]
+        ).astype(dt)
+    out_ref[...] = jax.lax.dot_general(
+        gh_ref[...], o_scr[...].reshape(N, bt * Ho), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(N, bt, Ho).astype(dt)
+
+
+def final_block_head_pallas_padded(
+    xp: Array,       # [N, B, Fp] mid-section activations (zero pad columns)
+    rp: Array,       # [N, B, Fp] long-skip activations (zero pad columns)
+    filmp: Array,    # [1, 2·Fp] pre-padded scale‖shift
+    w1p: Array,      # [N, 2·Fp, Fp]
+    b1p: Array,
+    g1: Array,
+    wrp: Array,      # [N, 2·Fp, Fp]
+    gr: Array,
+    w2p: Array,      # [N, Fp, Fp]
+    b2p: Array,
+    g2: Array,
+    whp: Array,      # [N, Fp, Ho] output-head weights (padded)
+    bhp: Array,      # [N, Ho]
+    gh: Array,
+    *,
+    batch_tile_in: int = 32,
+    batch_tile_out: int = 64,
+    interpret: bool = False,
+) -> Array:
+    """Fused rectangular final ResnetBlock (`attention.py:78-102` with
+    dim=2F, dim_out=F — the denoiser's long-skip block, `generator.py:103-105`)
+    PLUS the output head, on the padded pipeline:
+
+        out = Gh·(o·Wh + bh),  o = tanh(G2·(h·W2+b2)) + Gr·([x‖r]·Wr),
+        h = tanh(FiLM(G1·([x‖r]·W1+b1)))
+
+    Two passes.  Pass 1 (block1 + residual projection) reads x and r once
+    and emits both h and res; its two [N,2Fp,Fp] banks cap the tile at 32.
+    Pass 2 (block2 + add + head) carries only ~4.4 MB of banks and runs at
+    tile 64, and the block output feeds the head inside VMEM."""
+    N, B, Fp = xp.shape
+    Ho = whp.shape[-1]
+    assert B % batch_tile_in == 0 and B % batch_tile_out == 0, (
+        B, batch_tile_in, batch_tile_out)
+    assert Fp % LANE == 0 and Ho % LANE == 0
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    tile = lambda bt, f: pl.BlockSpec((N, bt, f), lambda i: (0, i, 0))
+    dt = xp.dtype
+
+    bt1 = batch_tile_in
+    h, res = pl.pallas_call(
+        functools.partial(
+            _rect_in_kernel, num_nodes=N, f_pad=Fp, batch_tile=bt1
+        ),
+        grid=(B // bt1,),
+        in_specs=[
+            tile(bt1, Fp), tile(bt1, Fp), const((1, 2 * Fp)),
+            const((N, 2 * Fp, Fp)), const((N, Fp)), const((N, N)),
+            const((N, 2 * Fp, Fp)), const((N, N)),
+        ],
+        out_specs=(tile(bt1, Fp), tile(bt1, Fp)),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, B, Fp), dt),
+            jax.ShapeDtypeStruct((N, B, Fp), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((N, bt1, Fp), dt)],
+        interpret=interpret,
+    )(xp, rp, filmp.astype(dt), w1p.astype(dt), b1p.astype(dt), g1.astype(dt),
+      wrp.astype(dt), gr.astype(dt))
+
+    bt2 = batch_tile_out
+    return pl.pallas_call(
+        functools.partial(
+            _rect_out_head_kernel, num_nodes=N, f_pad=Fp, h_out=Ho,
+            batch_tile=bt2,
+        ),
+        grid=(B // bt2,),
+        in_specs=[
+            tile(bt2, Fp), tile(bt2, Fp),
+            const((N, Fp, Fp)), const((N, Fp)), const((N, N)),
+            const((N, Fp, Ho)), const((N, Ho)), const((N, N)),
+        ],
+        out_specs=tile(bt2, Ho),
+        out_shape=jax.ShapeDtypeStruct((N, B, Ho), dt),
+        scratch_shapes=[
+            pltpu.VMEM((N, bt2, Fp), dt),
+            pltpu.VMEM((N, bt2, Ho), dt),
+        ],
+        interpret=interpret,
+    )(h, res, w2p.astype(dt), b2p.astype(dt), g2.astype(dt),
+      whp.astype(dt), bhp.astype(dt), gh.astype(dt))
+
+
 def prep_resnet_params(block_params: dict, node_types: Optional[np.ndarray], num_nodes: int):
     """Gather a flax ``ResnetBlock`` param subtree into kernel operands
     (per-node weight banks, row-normalized Gs).  The FiLM projection
