@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..attention import sinusoidal_pos_emb
-from ..graph_linear import StaticGraphLinear, gmm_nm, gmix_nm, l1_normalize_rows
+from ..graph_linear import l1_normalize_rows
 from .resnet_block import (
     _pad_last,
     final_block_head_pallas_padded,
