@@ -75,6 +75,12 @@ def _rollout_kernel(
     bt = batch_tile
     Fp = wfcT_ref.shape[1]
     tile = pl.program_id(0)
+    # dot operand dtype (see wrapper docstring: bf16 here buys VMEM, not
+    # speed — default-precision f32 dots are single-pass bf16 anyway).
+    # Casts must be IDENTITY in fp32 mode — even a no-op astype materializes
+    # a VMEM copy under Mosaic (~3 MB across the unrolled node loops).
+    cdt = whhT_ref.dtype
+    cast = (lambda v: v.astype(cdt)) if cdt != jnp.float32 else (lambda v: v)
 
     # tile loads: single-buffered manual DMAs from HBM
     cp_cx = pltpu.make_async_copy(
@@ -92,26 +98,29 @@ def _rollout_kernel(
     def step(t, _):
         h = h_scr[...]
         g = g_scr[...]
+        gc = cast(g)
 
         # process one gate block (r, z, n) at a time to keep the VMEM stack
         # small: per-node W_hhᵀ·h dots into scratch, then ONE [N,N]·[N,Hp·bt]
-        # influence-mix dot per side
+        # influence-mix dot per side.  Operand casts happen PER NODE — a
+        # whole-array h.astype(bf16) temp busts the 16 MB VMEM stack.
         def gate_block(gate):
             lo = gate * Hp
             for n in range(N):
-                hw_scr[n] = (
+                hw_scr[n] = cast(
                     jax.lax.dot_general(
-                        whhT_ref[n, lo : lo + Hp, :], h[n], (((1,), (0,)), ((), ())),
+                        whhT_ref[n, lo : lo + Hp, :], cast(h[n]),
+                        (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     + bhh_ref[n, lo : lo + Hp][:, None]
                 )
             hg = jax.lax.dot_general(
-                g, hw_scr[...].reshape(N, Hp * bt), (((1,), (0,)), ((), ())),
+                gc, hw_scr[...].reshape(N, Hp * bt), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(N, Hp, bt)
             xg = jax.lax.dot_general(
-                g, cx_scr[:, lo : lo + Hp, :].reshape(N, Hp * bt), (((1,), (0,)), ((), ())),
+                gc, cx_scr[:, lo : lo + Hp, :].reshape(N, Hp * bt), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(N, Hp, bt)
             return xg, hg
@@ -127,15 +136,16 @@ def _rollout_kernel(
 
         # output head: per-node fc + constant G_fc mix + tanh
         for n in range(N):
-            y_scr[n] = (
+            y_scr[n] = cast(
                 jax.lax.dot_general(
-                    wfcT_ref[n], hy[n], (((1,), (0,)), ((), ())),
+                    wfcT_ref[n], cast(hy[n]), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 + bfc_ref[n][:, None]
             )
         y = jax.lax.dot_general(
-            gfc_ref[...], y_scr[...].reshape(N, Fp * bt), (((1,), (0,)), ((), ())),
+            cast(gfc_ref[...]), y_scr[...].reshape(N, Fp * bt),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(N, Fp, bt)
         stage_scr[...] = jnp.tanh(y[:, :8, :])
@@ -186,9 +196,18 @@ def gru_rollout_pallas(
     *,
     ph: int,
     batch_tile: int = 128,
+    compute_dtype: Optional[str] = None,
     interpret: bool = False,
 ) -> Array:
-    """Full rollout → [ph, N, B, F_out] (float32)."""
+    """Full rollout → [ph, N, B, F_out] (float32).
+
+    ``compute_dtype='bfloat16'`` stores weights/cx/gate scratches in bf16
+    (halves their VMEM) with fp32 accumulation and fp32 h/G carries.
+    Measured (scripts/decode_bf16_check.py): outputs are BIT-IDENTICAL to
+    the fp32 kernel and speed is unchanged — Mosaic's default-precision
+    f32 dots already lower to single-pass-bf16 MXU ops, and the rollout is
+    latency-bound (ph × grid sequential step bodies), not dot-throughput
+    bound.  The option is kept for VMEM headroom, not speed."""
     N, B, threeH = cx.shape
     H = h0.shape[-1]
     Hp = ((H + LANE - 1) // LANE) * LANE
@@ -197,6 +216,7 @@ def gru_rollout_pallas(
     Fp = LANE
     assert B % batch_tile == 0, (B, batch_tile)
     grid = (B // batch_tile,)
+    cdt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
 
     # pad to 128-aligned gate blocks and go feature-major [N, F, B]
     cx_p = jnp.zeros((N, 3 * Hp, B), cx.dtype)
@@ -237,17 +257,18 @@ def gru_rollout_pallas(
         scratch_shapes=[
             pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
             pltpu.VMEM((N, N), jnp.float32),
-            pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
-            pltpu.VMEM((N, LANE, batch_tile), jnp.float32),
+            pltpu.VMEM((N, Hp, batch_tile), cdt),
+            pltpu.VMEM((N, LANE, batch_tile), cdt),
             pltpu.VMEM((N, 8, batch_tile), jnp.float32),
-            pltpu.VMEM((N, 3 * Hp, batch_tile), jnp.float32),
+            pltpu.VMEM((N, 3 * Hp, batch_tile), cdt),
             pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
             pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(cx_p, h0_p, whhT_p, bhh_p, g0, g_add, wfcT_p, bfc_p, g_fc)
+    )(cx_p.astype(cdt), h0_p, whhT_p.astype(cdt), bhh_p, g0, g_add,
+      wfcT_p.astype(cdt), bfc_p, g_fc)
     # [ph, N, 8, B] → [ph, N, B, F_out]
     return jnp.transpose(out[:, :, :F_out, :], (0, 1, 3, 2))
 
@@ -260,6 +281,7 @@ def decode_rollout(
     ph: int,
     *,
     batch_tile: int = 128,
+    compute_dtype: Optional[str] = None,
     interpret: bool = False,
 ) -> Array:
     """Functional fused decode: flax ``Decoder`` params → [B, ph, N, 3].
@@ -298,7 +320,8 @@ def decode_rollout(
         l1_normalize_rows(decoder_params["G0"]), cell["G_add"],
         fc["weight"][type_index], fc["bias"][type_index],
         l1_normalize_rows(fc["G"]),
-        ph=ph, batch_tile=batch_tile, interpret=interpret,
+        ph=ph, batch_tile=batch_tile, compute_dtype=compute_dtype,
+        interpret=interpret,
     )  # [ph, N, B, 3]
     return jnp.transpose(ys, (2, 0, 1, 3))
 
