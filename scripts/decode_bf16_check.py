@@ -1,10 +1,13 @@
 #!/usr/bin/env python
-"""bf16-dot decode-rollout check (ROADMAP #3) — RESULT: the bf16-operand
-kernel is BIT-IDENTICAL to the fp32 kernel (mm_mean = mm_max = 0.0) at
-~equal speed, because Mosaic lowers default-precision f32 dots to
-single-pass-bf16 MXU ops already and the rollout is latency-bound.
-ROADMAP #3 is therefore closed as "already effective": there is no decode
-precision or speed left behind by fp32-typed operands.
+"""Decode-rollout bf16/merged-gate kernel check (ROADMAP #3) — measures the
+metric-space (mm) deviation and speed of ``compute_dtype='bfloat16'``
+(which selects the merged-gate kernel) vs the fp32 kernel at bench shapes.
+
+History: a bf16-storage-only variant of the ORIGINAL kernel was
+bit-identical to fp32 at equal speed (default-precision f32 dots already
+lower to single-pass-bf16 MXU passes; the rollout is issue-latency bound).
+The merged-gate kernel trades 0.55 mm mean deviation (bf16 r/z storage)
+for 1.08×; it stays opt-in.
 
     python scripts/decode_bf16_check.py
 """

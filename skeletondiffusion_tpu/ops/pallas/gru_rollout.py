@@ -162,6 +162,112 @@ def _rollout_kernel(
     jax.lax.fori_loop(0, ph, step, ())
 
 
+def _rollout_kernel_merged(
+    cx_ref,      # [N, 3·Hp, B] in HBM, bf16, padded, feature-major
+    h0_ref,      # [N, Hp, B] in HBM, f32
+    whhT_ref,    # [N, 3·Hp, Hp] bf16
+    bhh_ref,     # [N, 3·Hp] f32
+    g0_ref,      # [N, N] f32 (row-normalized)
+    gadd_ref,    # [N, N] f32
+    wfcT_ref,    # [N, 8, Hp] bf16 (rows 0..2 = x/y/z, rest zero)
+    bfc_ref,     # [N, 8] f32
+    gfc_ref,     # [N, N] f32
+    out_ref,     # [ph, N, 8, B] f32 in HBM
+    h_scr,       # VMEM f32 [N, Hp, bt]
+    g_scr,       # VMEM f32 [N, N]
+    hw3_scr,     # VMEM bf16 [N, 3·Hp, bt] — ALL gate pre-mixes at once
+    y_scr,       # VMEM f32 [N, 8, bt]
+    stage_scr,   # VMEM f32 [N, 8, bt]
+    cx_scr,      # VMEM bf16 [N, 3·Hp, bt]
+    r_scr,       # VMEM bf16 [N, Hp, bt]
+    z_scr,       # VMEM bf16 [N, Hp, bt]
+    dma_sem,
+    *,
+    ph: int,
+    num_nodes: int,
+    hidden_pad: int,
+    batch_tile: int,
+):
+    """Latency-optimized bf16 variant: ONE [3Hp,Hp]·[Hp,bt] dot per node per
+    step (vs three) and an 8-row output head — 90 → 48 MXU issues per step.
+    The rollout is issue-latency bound (see wrapper docstring), so fewer,
+    larger dots is the lever.  bf16 storage of gates/cx/weights makes the
+    wider scratches fit the VMEM budget; h and G carries stay f32, and all
+    dots accumulate f32 (operand + r/z gate rounding are the only precision
+    changes — 0.55 mm mean metric-space deviation, flat over 120 steps)."""
+    N, Hp = num_nodes, hidden_pad
+    bt = batch_tile
+    tile = pl.program_id(0)
+    bf16 = jnp.bfloat16
+
+    cp_cx = pltpu.make_async_copy(
+        cx_ref.at[:, :, pl.ds(tile * bt, bt)], cx_scr, dma_sem
+    )
+    cp_cx.start()
+    cp_cx.wait()
+    cp_h = pltpu.make_async_copy(
+        h0_ref.at[:, :, pl.ds(tile * bt, bt)], h_scr, dma_sem
+    )
+    cp_h.start()
+    cp_h.wait()
+    g_scr[...] = g0_ref[...]
+
+    def step(t, _):
+        h = h_scr[...]
+        g = g_scr[...]
+        gc = g.astype(bf16)
+
+        for n in range(N):
+            hw3_scr[n] = (
+                jax.lax.dot_general(
+                    whhT_ref[n], h[n].astype(bf16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bhh_ref[n][:, None]
+            ).astype(bf16)
+
+        def mix(gate, src):
+            lo = gate * Hp
+            return jax.lax.dot_general(
+                gc, src[:, lo : lo + Hp, :].reshape(N, Hp * bt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(N, Hp, bt)
+
+        r_scr[...] = jax.nn.sigmoid(mix(0, cx_scr[...]) + mix(0, hw3_scr[...])).astype(bf16)
+        z_scr[...] = jax.nn.sigmoid(mix(1, cx_scr[...]) + mix(1, hw3_scr[...])).astype(bf16)
+        n_ = jnp.tanh(
+            mix(2, cx_scr[...]) + r_scr[...].astype(jnp.float32) * mix(2, hw3_scr[...])
+        )
+        z = z_scr[...].astype(jnp.float32)
+        hy = n_ - n_ * z + z * h
+
+        for n in range(N):
+            y_scr[n] = (
+                jax.lax.dot_general(
+                    wfcT_ref[n], hy[n].astype(bf16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bfc_ref[n][:, None]
+            )
+        y = jax.lax.dot_general(
+            gfc_ref[...], y_scr[...].reshape(N, 8 * bt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(N, 8, bt)
+        stage_scr[...] = jnp.tanh(y)
+        cp = pltpu.make_async_copy(
+            stage_scr, out_ref.at[t, :, :, pl.ds(tile * bt, bt)], dma_sem
+        )
+        cp.start()
+        cp.wait()
+
+        h_scr[...] = hy
+        g_scr[...] = _l1norm_rows(g + gadd_ref[...])
+        return ()
+
+    jax.lax.fori_loop(0, ph, step, ())
+
+
 def _pad_gates_weight(w: np.ndarray, H: int, Hp: int) -> Array:
     """[N, in, 3H] → [N, in_pad, 3Hp] with each gate block at a 128-aligned
     column offset and zero rows for the padded input dims."""
@@ -201,22 +307,30 @@ def gru_rollout_pallas(
 ) -> Array:
     """Full rollout → [ph, N, B, F_out] (float32).
 
-    ``compute_dtype='bfloat16'`` stores weights/cx/gate scratches in bf16
-    (halves their VMEM) with fp32 accumulation and fp32 h/G carries.
-    Measured (scripts/decode_bf16_check.py): outputs are BIT-IDENTICAL to
-    the fp32 kernel and speed is unchanged — Mosaic's default-precision
-    f32 dots already lower to single-pass-bf16 MXU ops, and the rollout is
-    latency-bound (ph × grid sequential step bodies), not dot-throughput
-    bound.  The option is kept for VMEM headroom, not speed."""
+    The rollout is ISSUE-LATENCY bound (ph × grid sequential step bodies;
+    dot throughput is not the limiter — default-precision f32 dots already
+    lower to single-pass-bf16 MXU passes, see scripts/decode_bf16_check.py).
+    ``compute_dtype='bfloat16'`` therefore selects a merged-gate kernel:
+    one [3Hp,Hp]·[Hp,bt] dot per node per step instead of three and an
+    8-row output head (90 → 48 MXU issues per step), with the wider bf16
+    scratches inside the VMEM budget.  h/G carries and all accumulators
+    stay fp32; only per-dot operand rounding and bf16 r/z gate storage
+    differ from the fp32 kernel.  Measured at the bench shapes
+    (scripts/decode_bf16_check.py): 1.08× (186 → 173 ms) at 0.55 mm mean /
+    5.4 mm max metric-space deviation, flat over the 120 steps (no error
+    growth).  OPT-IN only — the default eval path keeps the fp32 kernel;
+    the deviation exceeds the fused-denoiser bf16 noise floor (~0.1 mm
+    mean) for a 1.6% headline gain."""
     N, B, threeH = cx.shape
     H = h0.shape[-1]
     Hp = ((H + LANE - 1) // LANE) * LANE
     F_out = w_fc.shape[-1]
     assert F_out <= 8, "output head is staged through an 8-sublane block"
-    Fp = LANE
+    merged = compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.bfloat16
+    Fp = 8 if merged else LANE
     assert B % batch_tile == 0, (B, batch_tile)
     grid = (B // batch_tile,)
-    cdt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
+    cdt = jnp.bfloat16 if merged else jnp.float32
 
     # pad to 128-aligned gate blocks and go feature-major [N, F, B]
     cx_p = jnp.zeros((N, 3 * Hp, B), cx.dtype)
@@ -232,10 +346,16 @@ def gru_rollout_pallas(
     )
     bfc_p = jnp.zeros((N, Fp), b_fc.dtype).at[:, :F_out].set(b_fc)
 
-    kernel = functools.partial(
-        _rollout_kernel, ph=ph, num_nodes=N, hidden_pad=Hp, f_out=F_out,
-        batch_tile=batch_tile,
-    )
+    if merged:
+        kernel = functools.partial(
+            _rollout_kernel_merged, ph=ph, num_nodes=N, hidden_pad=Hp,
+            batch_tile=batch_tile,
+        )
+    else:
+        kernel = functools.partial(
+            _rollout_kernel, ph=ph, num_nodes=N, hidden_pad=Hp, f_out=F_out,
+            batch_tile=batch_tile,
+        )
     full3 = lambda i: (0, 0, 0)
     full2 = lambda i: (0, 0)
     out = pl.pallas_call(
@@ -248,8 +368,8 @@ def gru_rollout_pallas(
             pl.BlockSpec((N, 3 * Hp), full2, memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), full2, memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), full2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, LANE, Hp), full3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, LANE), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, Fp, Hp), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, Fp), full2, memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), full2, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
@@ -257,12 +377,14 @@ def gru_rollout_pallas(
         scratch_shapes=[
             pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
             pltpu.VMEM((N, N), jnp.float32),
-            pltpu.VMEM((N, Hp, batch_tile), cdt),
-            pltpu.VMEM((N, LANE, batch_tile), cdt),
+            pltpu.VMEM(
+                (N, 3 * Hp if merged else Hp, batch_tile), cdt
+            ),
+            pltpu.VMEM((N, Fp, batch_tile), jnp.float32),
             pltpu.VMEM((N, 8, batch_tile), jnp.float32),
             pltpu.VMEM((N, 3 * Hp, batch_tile), cdt),
-            pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
-            pltpu.VMEM((N, Hp, batch_tile), jnp.float32),
+            pltpu.VMEM((N, Hp, batch_tile), cdt),
+            pltpu.VMEM((N, Hp, batch_tile), cdt),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

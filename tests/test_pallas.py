@@ -29,3 +29,14 @@ def test_fused_rollout_matches_flax_decoder(with_types):
         batch_tile=B, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+    # merged-gate bf16 kernel: same math with bf16 operand rounding; the
+    # tolerance covers the per-step r/z rounding over the short rollout
+    merged = decode_rollout(
+        params["params"]["decoder"], node_types, x[:, -2:], z, ph=PH,
+        batch_tile=B, compute_dtype="bfloat16", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(ref), atol=3e-2)
+    np.testing.assert_array_less(
+        np.abs(np.asarray(merged) - np.asarray(ref)).mean(), 3e-3
+    )
