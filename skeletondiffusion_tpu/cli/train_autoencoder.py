@@ -135,6 +135,8 @@ def train(cfg: Dict) -> str:
         logger.log(epoch, {"loss": float(np.mean(losses)),
                            "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"],
                            "ph": ph})
+        # per-epoch weight histograms/norms (reference `tensorboard.py:98-122`)
+        logger.log_param_histograms(epoch, state.params)
 
         # reference runs BOTH eval engines every `eval_frequency` epochs:
         # the valid split and a capped pass over the train split

@@ -175,6 +175,8 @@ def train(cfg: Dict) -> str:
             it_global += 1
         logger.log(epoch, {"loss": float(np.mean(losses)),
                            "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"]})
+        # per-epoch weight histograms/norms (reference `tensorboard.py:98-122`)
+        logger.log_param_histograms(epoch, state.params)
 
         # reference runs BOTH eval engines every `eval_frequency` epochs
         # (`train_diffusion.py:113-120`, `src/train_utils.py:97-137`)

@@ -58,6 +58,31 @@ class MetricsLogger:
             vals["grad_global_norm"] = gnorm
         self.log(step, vals, prefix="norms")
 
+    def log_param_histograms(self, step: int, params, grads=None):
+        """Per-epoch weight/grad distributions; reference
+        `src/utils/tensorboard.py:98-122` (ignite Weights/GradsHistHandler,
+        attached EPOCH_COMPLETED).  Full histograms go to TensorBoard when
+        available; the JSONL stream gets compact per-layer L2 norms either
+        way, so the signal survives without TB."""
+
+        def walk(tree, tag):
+            rec = {}
+            flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+            for path, leaf in flat:
+                name = "/".join(
+                    str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+                )
+                a = np.asarray(leaf, dtype=np.float64)
+                rec[f"{tag}/{name}"] = float(np.sqrt((a * a).sum()))
+                if self._tb is not None:
+                    self._tb.add_histogram(f"{tag}/{name}", a, step)
+            return rec
+
+        vals = walk(params, "weights_norm")
+        if grads is not None:
+            vals.update(walk(grads, "grads_norm"))
+        self.log(step, vals, prefix="hist")
+
     def close(self):
         self._fh.close()
         if self._tb is not None:

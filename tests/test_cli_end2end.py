@@ -142,6 +142,8 @@ def test_two_stage_training_and_eval(data_root, monkeypatch):
                     assert "param_global_norm" in rec and "grad_global_norm" in rec, rec
         assert "train_iter" in prefixes, (exp, prefixes)
         assert "norms" in prefixes, (exp, prefixes)
+        # per-epoch weight histogram/norm rows (`tensorboard.py:98-122`)
+        assert "hist" in prefixes, (exp, prefixes)
 
     # experiment-folder artifacts (reference `config.py:77-96`): config
     # snapshot + source self-copy
