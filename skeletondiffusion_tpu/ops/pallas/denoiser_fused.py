@@ -23,6 +23,7 @@ pins this forward to ``Denoiser.apply`` in interpret mode.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -220,18 +221,6 @@ def fused_denoiser_core_nm(
         x_nm = jnp.pad(x_nm, ((0, 0), (0, Bp - B0), (0, 0)))
         u_pad = jnp.pad(u_pad, ((0, 0), (0, Bp - B0), (0, 0)))
 
-    # input projection on the hoisted-conditioning path (Denoiser.__call__,
-    # u_cond branch): one-pass graph-linear kernel, output directly on the
-    # 256-padded pipeline
-    from .graph_linear_fused import graph_linear_pallas
-
-    xp = graph_linear_pallas(
-        x_nm.astype(cdt), prepped["stem"]["w"], prepped["stem"]["b"],
-        prepped["stem"]["g"],
-        u=u_pad.astype(cdt), batch_tile=batch_tile, interpret=interpret,
-    )  # [N, Bp, f_pad], pad cols zero
-    rp = xp  # long-skip stream stays on the padded pipeline
-
     # time embedding MLP (scalar t → [1, time_dim])
     time = jnp.atleast_1d(jnp.asarray(time))
     t = sinusoidal_pos_emb(time, diffusion_size, den.sinusoidal_pos_emb_theta)
@@ -240,22 +229,71 @@ def fused_denoiser_core_nm(
     t = t @ p["time_mlp1"]["kernel"] + p["time_mlp1"]["bias"]
     tt = jnp.tanh(t)
 
+    def filmp_for(blk):
+        film = tt @ blk["film_k"] + blk["film_b"]  # [1, 2F]
+        return pad_film(film, diffusion_size, f_pad).astype(cdt)
+
     n_pairs = 2 * den.depth
     assert den.use_attention, "fused path expects attention pairs"
-    for i in range(n_pairs):
-        blk = prepped["blocks"][i]
-        film = tt @ blk["film_k"] + blk["film_b"]  # [1, 2F]
-        filmp = pad_film(film, diffusion_size, f_pad).astype(cdt)
-        xp = resnet_block_pallas_padded(
-            xp, filmp, blk["w1"], blk["b1"], blk["g1"],
-            blk["w2"], blk["b2"], blk["g2"],
+
+    if os.environ.get("SKELDIFF_LAYER_FUSED", "0") == "1":
+        # per-layer mono-kernels (layer_fused.py): [stem+block0], then
+        # [rms_qkv+core] / [outproj+residual+block_{i+1}] per attention pair
+        # — halves the kernel-boundary HBM traffic and the 768-wide qkv
+        # tensor never leaves VMEM.  Measured NEUTRAL at the bench batch
+        # (314.3 vs 314.3-319.7 preds/s over several runs): Mosaic already
+        # overlaps the boundary DMAs with compute via double-buffered grid
+        # tiles, so the saved traffic was not on the critical path.  Kept
+        # opt-in for smaller-batch regimes where boundary latency shows.
+        from .layer_fused import (
+            outproj_block_pallas,
+            rms_qkv_core_pallas,
+            stem_block_pallas,
+        )
+
+        rp, xp = stem_block_pallas(
+            x_nm.astype(cdt), u_pad, filmp_for(prepped["blocks"][0]),
+            prepped["stem"], prepped["blocks"][0],
             batch_tile=batch_tile, interpret=interpret,
         )
-        if i != n_pairs - 1:
-            xp = _attention_padded(
-                prepped["attns"][i], xp, den.attn_heads, den.attn_dim_head,
+        for i in range(n_pairs - 1):
+            aops = prepped["attns"][i]
+            a = rms_qkv_core_pallas(
+                xp, aops["g_rms"].reshape(1, -1), aops["w_qkv"], aops["g_qkv"],
+                heads=den.attn_heads, dim_head=den.attn_dim_head,
+                # query_chunk=2 halves the core's per-chunk prod temp so the
+                # 8.3 MB qkv bank still fits at tile 64 (MXU rows beat the
+                # extra softmax invocations — measured)
+                batch_tile=batch_tile, query_chunk=2, interpret=interpret,
+            )
+            xp = outproj_block_pallas(
+                a, xp, filmp_for(prepped["blocks"][i + 1]),
+                aops["w_out"], aops["g_out"], prepped["blocks"][i + 1],
                 batch_tile=batch_tile, interpret=interpret,
             )
+    else:
+        # single-stage kernel pipeline (kept for A/B and as the reference
+        # for the mono-kernels' parity)
+        from .graph_linear_fused import graph_linear_pallas
+
+        xp = graph_linear_pallas(
+            x_nm.astype(cdt), prepped["stem"]["w"], prepped["stem"]["b"],
+            prepped["stem"]["g"],
+            u=u_pad.astype(cdt), batch_tile=batch_tile, interpret=interpret,
+        )  # [N, Bp, f_pad], pad cols zero
+        rp = xp  # long-skip stream stays on the padded pipeline
+        for i in range(n_pairs):
+            blk = prepped["blocks"][i]
+            xp = resnet_block_pallas_padded(
+                xp, filmp_for(blk), blk["w1"], blk["b1"], blk["g1"],
+                blk["w2"], blk["b2"], blk["g2"],
+                batch_tile=batch_tile, interpret=interpret,
+            )
+            if i != n_pairs - 1:
+                xp = _attention_padded(
+                    prepped["attns"][i], xp, den.attn_heads, den.attn_dim_head,
+                    batch_tile=batch_tile, interpret=interpret,
+                )
     # rectangular final block (2F→F long-skip ResnetBlock) + output head,
     # fused on the padded pipeline — neither the x‖r concat nor the block
     # output ever hits HBM (resnet_block.py::final_block_head_pallas_padded)

@@ -1,5 +1,6 @@
 """Fused ResnetBlock Pallas kernel ≡ flax ResnetBlock (interpret mode)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,7 +62,10 @@ def test_fused_resnet_block_no_film():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref0), atol=2e-5, rtol=1e-4)
 
 
-def test_fused_denoiser_matches_flax():
+@pytest.mark.parametrize("layer_fused", ["0", "1"])
+def test_fused_denoiser_matches_flax(layer_fused, monkeypatch):
+    # "1" exercises the per-layer mono-kernels (ops/pallas/layer_fused.py)
+    monkeypatch.setenv("SKELDIFF_LAYER_FUSED", layer_fused)
     from skeletondiffusion_tpu.models.denoiser import Denoiser
     from skeletondiffusion_tpu.ops.pallas.denoiser_fused import fused_denoiser_apply
 
