@@ -153,7 +153,7 @@ def train(cfg: Dict) -> str:
         trainer.epoch_started(epoch)
         ek = epoch_key(root_key, epoch)
         losses = []
-        for it, batch in enumerate(prefetch_iterator(loader)):
+        for it, batch in enumerate(prefetch_iterator(loader, to_device=True)):
             if it >= iter_per_epoch:
                 break
             k = iteration_key(ek, it)

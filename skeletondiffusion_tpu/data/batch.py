@@ -123,21 +123,39 @@ def collate(batch_items: List[Tuple], max_mmgt: int = 0) -> Dict[str, np.ndarray
     return out
 
 
-def prefetch_iterator(iterable, prefetch: int = 2):
+def prefetch_iterator(iterable, prefetch: int = 2, to_device: bool = False):
     """Run the (host-side) batch construction in a background thread so the
     single host core overlaps collate with device compute — the TPU-side
     replacement for the reference's CPU dataloader workers
-    (`src/train_utils.py:25-32`)."""
+    (`src/train_utils.py:25-32`).
+
+    ``to_device=True`` additionally ``jax.device_put``s every ndarray value
+    of dict items from the producer thread, so the host→device transfer
+    (a network RPC on tunneled TPUs — hundreds of MB/batch when ragged
+    mm-GT tensors ride along) overlaps the previous batch's compute instead
+    of landing inside the consumer's timed loop."""
     import queue
     import threading
+
+    import numpy as _np
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     _END = object()
 
+    def ship(item):
+        if not to_device or not isinstance(item, dict):
+            return item
+        import jax as _jax
+
+        return {
+            k: _jax.device_put(v) if isinstance(v, _np.ndarray) else v
+            for k, v in item.items()
+        }
+
     def producer():
         try:
             for item in iterable:
-                q.put(item)
+                q.put(ship(item))
         finally:
             q.put(_END)
 

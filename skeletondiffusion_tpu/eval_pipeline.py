@@ -374,7 +374,7 @@ def compute_metrics(
             if getattr(predictor, attr, None) is not None:
                 setattr(predictor, attr, replicate(mesh, getattr(predictor, attr)))
 
-    for b_i, batch in enumerate(prefetch_iterator(loader)):
+    for b_i, batch in enumerate(prefetch_iterator(loader, to_device=True)):
         if timer is not None:
             timer.start()
         # per-batch keys: one for sampling, one for the (possibly noisy)
