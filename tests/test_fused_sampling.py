@@ -62,3 +62,37 @@ def test_fused_nm_sampling_matches_plain():
     fused, _ = diffusion.sample(params, jax.random.key(2), batch_size=B, x_cond=x_cond)
 
     np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), atol=2e-4, rtol=1e-3)
+
+
+def test_posterior_step_tables_match_process_math():
+    """[P1|P2|Uσ] tables + the fused kernel ≡ clip → q_posterior →
+    combine_mean_var_noise (with the t>0 noise mask) for every t."""
+    from skeletondiffusion_tpu.diffusion.process import build_nonisotropic_process
+    from skeletondiffusion_tpu.ops.pallas.posterior_step import posterior_step_pallas
+
+    N, D, B = 7, 12, 5
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((N, N))
+    sigma = a @ a.T / N + 0.5 * np.eye(N)
+    lam, u = np.linalg.eigh(sigma)
+    proc = build_nonisotropic_process(
+        sigma, lam, u, timesteps=4, objective="pred_x0"
+    )
+    tables = proc.posterior_step_tables()
+
+    x0 = jnp.asarray(rng.standard_normal((B, N, D)) * 1.2, jnp.float32)
+    xt = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    dp = 128
+    nm = lambda a: jnp.pad(jnp.swapaxes(a, 0, 1), ((0, 0), (0, 0), (0, dp - D)))
+
+    for t in range(4):
+        mean, _, log_var = proc.q_posterior(jnp.clip(x0, -1.0, 1.0), xt, t)
+        want = proc.combine_mean_var_noise(
+            mean, log_var, eps if t > 0 else jnp.zeros_like(eps)
+        )
+        got = posterior_step_pallas(
+            nm(x0), nm(xt), nm(eps), tables[t], batch_tile=8, interpret=True
+        )
+        got = jnp.swapaxes(got[:, :, :D], 0, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
