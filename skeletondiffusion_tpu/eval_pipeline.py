@@ -366,6 +366,11 @@ def compute_metrics(
             if_noisy_obs=if_noisy_obs, noise_level=noise_level, noise_std=noise_std,
         )
     )
+    # metric-space transforms fused into one program (eager dispatch costs
+    # several per-op RPC round-trips on the ~400 MB prediction tensor)
+    process_pair = jax.jit(
+        lambda tgt, prd, ob, mm: process_evaluation_pair(skeleton, tgt, prd, ob, mm)
+    )
 
     if mesh is not None:
         from .parallel import replicate
@@ -404,9 +409,7 @@ def compute_metrics(
             obs_m = skeleton.transform_to_metric_space(obs)
         else:
             pred, _ = predictor(k, obs, num_samples=num_samples)
-            target_m, pred_m, obs_m, mm_m = process_evaluation_pair(
-                skeleton, target, pred, obs, mm_gt
-            )
+            target_m, pred_m, obs_m, mm_m = process_pair(target, pred, obs, mm_gt)
 
         vals = suite.compute_batch(pred_m, target_m, mm_gt=mm_m, mm_mask=batch_dev.get("mm_mask"))
         class_idxs = None
