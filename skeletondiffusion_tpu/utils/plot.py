@@ -199,3 +199,42 @@ def load_image(img_path: str) -> np.ndarray:
     import matplotlib.pyplot as plt
 
     return np.asarray(plt.imread(img_path))
+
+
+def _render_one(job) -> str:
+    obs, target, preds, skeleton, titles, out_path, fps, ncols = job
+    return animate_prediction_grid(
+        obs, target, preds, skeleton, titles=titles, out_path=out_path,
+        fps=fps, ncols=ncols,
+    )
+
+
+def render_prediction_grids_parallel(
+    jobs: Sequence[dict],
+    skeleton,
+    n_workers: int = 4,
+    fps: int = 25,
+    ncols: int = 3,
+) -> Sequence[str]:
+    """Render MANY prediction-grid animations across processes — the
+    reference fans its matplotlib rendering out with multiprocessing
+    (`src/utils/plot_parallel.py`); a single grid takes seconds of pure
+    host-side drawing, so visualizing a batch serially is minutes.
+
+    ``jobs``: dicts with keys ``obs`` [To,J,3], ``target`` [Tp,J,3],
+    ``preds`` (list of [Tp,J,3]), ``out_path`` and optional ``titles``.
+    Returns the written paths in job order.
+    """
+    from multiprocessing import get_context
+
+    packed = [
+        (np.asarray(j["obs"]), np.asarray(j["target"]),
+         [np.asarray(p) for p in j["preds"]], skeleton,
+         j.get("titles"), j["out_path"], fps, ncols)
+        for j in jobs
+    ]
+    if n_workers <= 1 or len(packed) <= 1:
+        return [_render_one(job) for job in packed]
+    # spawn: matplotlib Agg state must not be forked mid-figure
+    with get_context("spawn").Pool(min(n_workers, len(packed))) as pool:
+        return pool.map(_render_one, packed)

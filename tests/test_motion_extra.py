@@ -127,3 +127,30 @@ def test_plot_stack_renders(tmp_path):
     rot = rotate_y_axis(obs, 180.0)
     np.testing.assert_allclose(rot[..., 1], obs[..., 1], atol=1e-12)  # y preserved
     np.testing.assert_allclose(rotate_y_axis(rot, 180.0), obs, atol=1e-12)
+
+
+def test_parallel_grid_rendering(tmp_path):
+    """render_prediction_grids_parallel writes one animation per job
+    (reference `src/utils/plot_parallel.py` fan-out); n_workers=1 exercises
+    the serial fallback without spawning processes."""
+    import os
+
+    import numpy as np
+
+    from skeletondiffusion_tpu.skeleton import create_skeleton
+    from skeletondiffusion_tpu.utils.plot import render_prediction_grids_parallel
+
+    sk = create_skeleton(
+        dataset_name="amass", motion_repr_type="SkeletonRescalePose", num_joints=22,
+        pose_box_size=1.5, obs_length=3, pred_length=4, if_consider_hip=False,
+    )
+    rng = np.random.default_rng(0)
+    J = sk.num_nodes + 1
+    mk = lambda T: rng.standard_normal((T, J, 3)) * 0.2
+    jobs = [
+        {"obs": mk(3), "target": mk(4), "preds": [mk(4), mk(4)],
+         "out_path": str(tmp_path / f"g{i}.gif")}
+        for i in range(2)
+    ]
+    paths = render_prediction_grids_parallel(jobs, sk, n_workers=1, fps=5)
+    assert len(paths) == 2 and all(os.path.getsize(p) > 0 for p in paths)
