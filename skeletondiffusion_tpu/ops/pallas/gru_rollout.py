@@ -148,18 +148,27 @@ def _rollout_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(N, Fp, bt)
+        # deferred-wait staging: step t's pose DMA drains behind step t+1's
+        # gate/head compute; wait only right before the buffer is rewritten
+        @pl.when(t > 0)
+        def _wait_prev():
+            pltpu.make_async_copy(
+                stage_scr, out_ref.at[t - 1, :, :, pl.ds(tile * bt, bt)], dma_sem
+            ).wait()
+
         stage_scr[...] = jnp.tanh(y[:, :8, :])
-        cp = pltpu.make_async_copy(
+        pltpu.make_async_copy(
             stage_scr, out_ref.at[t, :, :, pl.ds(tile * bt, bt)], dma_sem
-        )
-        cp.start()
-        cp.wait()
+        ).start()
 
         h_scr[...] = hy
         g_scr[...] = _l1norm_rows(g + gadd_ref[...])
         return ()
 
     jax.lax.fori_loop(0, ph, step, ())
+    pltpu.make_async_copy(
+        stage_scr, out_ref.at[ph - 1, :, :, pl.ds(tile * bt, bt)], dma_sem
+    ).wait()
 
 
 def _rollout_kernel_merged(
@@ -254,18 +263,26 @@ def _rollout_kernel_merged(
             gfc_ref[...], y_scr[...].reshape(N, 8 * bt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(N, 8, bt)
+        # deferred-wait staging (see _rollout_kernel)
+        @pl.when(t > 0)
+        def _wait_prev():
+            pltpu.make_async_copy(
+                stage_scr, out_ref.at[t - 1, :, :, pl.ds(tile * bt, bt)], dma_sem
+            ).wait()
+
         stage_scr[...] = jnp.tanh(y)
-        cp = pltpu.make_async_copy(
+        pltpu.make_async_copy(
             stage_scr, out_ref.at[t, :, :, pl.ds(tile * bt, bt)], dma_sem
-        )
-        cp.start()
-        cp.wait()
+        ).start()
 
         h_scr[...] = hy
         g_scr[...] = _l1norm_rows(g + gadd_ref[...])
         return ()
 
     jax.lax.fori_loop(0, ph, step, ())
+    pltpu.make_async_copy(
+        stage_scr, out_ref.at[ph - 1, :, :, pl.ds(tile * bt, bt)], dma_sem
+    ).wait()
 
 
 def _pad_gates_weight(w: np.ndarray, H: int, Hp: int) -> Array:
