@@ -52,6 +52,19 @@ def build_dataset(cfg: Dict[str, Any], skeleton, split: str, loader_key: str, **
     if cfg["dataset_type"] in ("AMASSDataset",):
         kwargs.pop("actions", None)
         kwargs.pop("annotations_folder", None)
+    # the hmp pipeline assumes RAW metric-space coordinates: the device-side
+    # augmentation (mirror/rotation), noisy-obs, skeleton input transforms
+    # and the mm/CMD reference statistics are all incoherent on standardized
+    # data.  The dataset-level stats path (normalize/denormalize) works
+    # standalone; the reference blocks the same combination with
+    # `assert not normalize_data` (`base_dataset.py:56`).
+    if kwargs.get("normalize_data") and cfg.get("task_name", "hmp") == "hmp":
+        raise ValueError(
+            "normalize_data=True is incompatible with the hmp pipeline "
+            "(device-side augmentation + skeleton transforms assume raw "
+            "metric space); use the dataset-level normalize/denormalize "
+            "API directly instead"
+        )
     return ds_cls(**kwargs)
 
 

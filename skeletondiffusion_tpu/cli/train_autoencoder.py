@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from ..data import DataLoader
-from ..data.batch import prefetch_iterator
+from ..data.batch import bounded_batches, prefetch_iterator
 from ..metrics.multimodal import ade, fde, mpjpe
 from ..parallel import replicate, shard_batch
 from ..train.checkpoint import CheckpointManager, load_host_state, save_host_state
@@ -85,10 +85,14 @@ def train(cfg: Dict) -> str:
 
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"), n_saved=20)
     start_epoch = 1
+    resumed_step = None
     if cfg.get("if_resume_training"):
         state = ckpt.restore(state, cfg.get("load_path") or None)
         host = load_host_state(out_dir) or {}
         start_epoch = host.get("epoch", 0) + 1
+        # the recomputed (epoch-1)·iter_per_epoch drifts when an epoch
+        # yields fewer batches — trust the checkpointed step counter
+        resumed_step = host.get("global_step")
         if trainer.lr_scheduler is not None and "lr_scheduler" in host:
             trainer.lr_scheduler.load_state_dict(host["lr_scheduler"])
         # bit-faithful resume: restore every host RNG stream (loader shuffle,
@@ -105,14 +109,19 @@ def train(cfg: Dict) -> str:
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print(f"AutoEncoder parameters: {n_params:,}")
 
-    it_global = (start_epoch - 1) * iter_per_epoch
+    it_global = resumed_step if resumed_step is not None else (
+        (start_epoch - 1) * iter_per_epoch
+    )
     for epoch in range(start_epoch, cfg["num_epochs"] + 1):
         trainer.epoch_started(epoch)
         ek = epoch_key(root_key, epoch)
         losses = []
-        for it, batch in enumerate(prefetch_iterator(loader, to_device=True)):
-            if it >= iter_per_epoch:
-                break
+        # bound the iterable BEFORE prefetching: breaking out of the
+        # prefetch generator would leave the producer thread drawing extra
+        # dataset-augmentation RNG (nondeterministic resume state) and
+        # holding device buffers
+        bounded = bounded_batches(loader, iter_per_epoch)
+        for it, batch in enumerate(prefetch_iterator(bounded, to_device=True)):
             k = iteration_key(ek, it)
             obs_t, pred_t, _ = preprocess(k, batch["obs"], batch["pred"])
             if mesh is not None:

@@ -16,7 +16,7 @@ import numpy as np
 import yaml
 
 from ..data import DataLoader
-from ..data.batch import prefetch_iterator
+from ..data.batch import bounded_batches, prefetch_iterator
 from ..diffusion.manager import create_diffusion
 from ..metrics.body_realism import limb_length_variance
 from ..metrics.multimodal import ade, apd, mpjpe
@@ -136,10 +136,14 @@ def train(cfg: Dict) -> str:
 
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"), n_saved=10)
     start_epoch = 1
+    resumed_step = None
     if cfg.get("if_resume_training"):
         state = ckpt.restore(state, cfg.get("load_path") or None)
         host = load_host_state(out_dir) or {}
         start_epoch = host.get("epoch", 0) + 1
+        # the recomputed (epoch-1)·iter_per_epoch drifts when an epoch
+        # yields fewer batches — trust the checkpointed step counter
+        resumed_step = host.get("global_step")
         if trainer.lr_scheduler is not None and "lr_scheduler" in host:
             trainer.lr_scheduler.load_state_dict(host["lr_scheduler"])
         # bit-faithful resume: host RNG streams (see train_autoencoder)
@@ -148,14 +152,17 @@ def train(cfg: Dict) -> str:
         if "dataset" in host:
             dataset.load_state_dict(host["dataset"])
 
-    it_global = (start_epoch - 1) * iter_per_epoch
+    it_global = resumed_step if resumed_step is not None else (
+        (start_epoch - 1) * iter_per_epoch
+    )
     for epoch in range(start_epoch, cfg["num_epochs"] + 1):
         trainer.epoch_started(epoch)
         ek = epoch_key(root_key, epoch)
         losses = []
-        for it, batch in enumerate(prefetch_iterator(loader, to_device=True)):
-            if it >= iter_per_epoch:
-                break
+        # bound BEFORE prefetching (see train_autoencoder: a break inside the
+        # prefetch generator breaks bit-faithful resume + pins device buffers)
+        bounded = bounded_batches(loader, iter_per_epoch)
+        for it, batch in enumerate(prefetch_iterator(bounded, to_device=True)):
             k = iteration_key(ek, it)
             obs_t, pred_t, _ = preprocess(k, batch["obs"], batch["pred"])
             if mesh is not None:
@@ -192,7 +199,14 @@ def train(cfg: Dict) -> str:
         if score is not None or epoch == cfg["num_epochs"]:
             ckpt.save(state, step=epoch, score=score)
         ckpt.save_latest(state, step=epoch)
-        host = {"epoch": epoch}
+        # bit-faithful resume: host RNG streams alongside epoch/step
+        # (matches train_autoencoder; reference `reproducibility.py:47-79`)
+        host = {
+            "epoch": epoch,
+            "global_step": it_global,
+            "loader": loader.state_dict(),
+            "dataset": dataset.state_dict(),
+        }
         if trainer.lr_scheduler is not None:
             host["lr_scheduler"] = trainer.lr_scheduler.state_dict()
         save_host_state(out_dir, host)

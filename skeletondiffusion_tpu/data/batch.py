@@ -152,20 +152,55 @@ def prefetch_iterator(iterable, prefetch: int = 2, to_device: bool = False):
             for k, v in item.items()
         }
 
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in iterable:
-                q.put(ship(item))
+                if not put(ship(item)):
+                    return
         finally:
-            q.put(_END)
+            put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+    finally:
+        # consumer stopped early (break / GeneratorExit): halt the producer
+        # so it neither draws further dataset-RNG state nor keeps device
+        # buffers pinned in the queue
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)
+
+
+def bounded_batches(loader, n: Optional[int]):
+    """Yield at most ``n`` batches.  Train loops must bound the iterable
+    BEFORE ``prefetch_iterator`` rather than breaking out of it — a break
+    leaves the producer thread having drawn a timing-dependent number of
+    extra dataset-augmentation RNG values, which breaks bit-faithful
+    resume."""
+    import itertools
+
+    return iter(loader) if n is None else itertools.islice(iter(loader), n)
 
 
 class DataLoader:

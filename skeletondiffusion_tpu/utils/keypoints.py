@@ -7,10 +7,13 @@ import numpy as np
 
 def center_kpts_around_hip(kpts: np.ndarray, hip_idx: int = 0):
     """Subtract the hip trajectory; returns (centered [..., J, 3],
-    hip [..., 1, 3]); reference `keypoints.py:5-10`."""
-    kpts = np.asarray(kpts)
-    hip = kpts[..., hip_idx: hip_idx + 1, :]
-    return kpts - hip, hip
+    hip [..., 1, 3]); reference `keypoints.py:5-10`.  Numpy-facing wrapper
+    over the single implementation in ``skeleton.motion`` (jnp accepts
+    numpy inputs) so the centering semantics cannot diverge."""
+    from ..skeleton.motion import center_kpts_around_hip as _impl
+
+    centered, hip = _impl(np.asarray(kpts), hip_idx)
+    return np.asarray(centered), np.asarray(hip)
 
 
 def center_kpts_around_hip_and_drop_root(kpts: np.ndarray, hip_idx: int = 0):

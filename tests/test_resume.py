@@ -103,3 +103,58 @@ def test_resume_reproduces_uninterrupted_run(data_root, monkeypatch):
         host = json.load(f)
     for key in ("loader", "dataset", "curriculum", "global_step", "lr_scheduler"):
         assert key in host, key
+
+
+def _diff_args(data_root, ae_dir, out, epochs, resume=False):
+    args = [
+        f"dataset_main_path={data_root}/datasets",
+        "task.history_sec=0.1",
+        "task.prediction_horizon_sec=0.2",
+        "device_mesh.n_devices=1",
+        f"output_log_path={out}",
+        f"model.pretrained_autoencoder_path={ae_dir}/checkpoints",
+        f"model.num_epochs={epochs}",
+        "model.batch_size=4",
+        "model.num_iter_perepoch=2",
+        "model.train_pick_best_sample_among_k=2",
+        "model.diffusion_timesteps=3",
+        "model.diffusion_arch.depth=1",
+        "model.diffusion_arch.attn_heads=2",
+        "model.diffusion_arch.attn_dim_head=4",
+        "dataset.data_loader_train.datasets=[ACCAD, CMU]",
+        "dataset.data_loader_train.stride=4",
+        "dataset.data_loader_train.augmentation=2",
+        "dataset.data_loader_train.shuffle=True",
+    ]
+    if resume:
+        args += ["model.if_resume_training=True"]
+    return args
+
+
+def test_diffusion_resume_reproduces_uninterrupted_run(data_root, monkeypatch):
+    """Stage-2 resume parity (review finding: the diffusion CLI saved only
+    {epoch, lr_scheduler}, so the loader/dataset RNG restore was dead)."""
+    from skeletondiffusion_tpu.cli.train_autoencoder import main as train_ae_main
+    from skeletondiffusion_tpu.cli.train_diffusion import main as train_diff_main
+
+    monkeypatch.chdir("/root/repo")
+    ae_dir = os.path.join(data_root, "ae_for_diff")
+    train_ae_main(_ae_args(data_root, ae_dir, epochs=1))
+
+    straight = os.path.join(data_root, "diff_straight")
+    train_diff_main(_diff_args(data_root, ae_dir, straight, epochs=4))
+
+    split = os.path.join(data_root, "diff_split")
+    train_diff_main(_diff_args(data_root, ae_dir, split, epochs=2))
+    train_diff_main(_diff_args(data_root, ae_dir, split, epochs=4, resume=True))
+
+    np.testing.assert_array_equal(_params_vec(straight), _params_vec(split))
+    straight_losses = dict(_loss_trace(straight))
+    split_losses = dict(_loss_trace(split))
+    for ep in (3, 4):
+        assert straight_losses[ep] == split_losses[ep], (
+            ep, straight_losses[ep], split_losses[ep])
+    with open(os.path.join(split, "host_state.json")) as f:
+        host = json.load(f)
+    for key in ("loader", "dataset", "global_step"):
+        assert key in host, key
