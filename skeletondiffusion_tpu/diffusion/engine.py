@@ -90,13 +90,19 @@ class GaussianDiffusion:
     def model_predictions(
         self, params, x: Array, t: Array, x_cond: Optional[Array] = None, clip_x_start: bool = False
     ) -> Tuple[Array, Array]:
-        """(pred_noise, pred_x_start); reference `base.py:219-241`."""
+        """(pred_noise, pred_x_start); reference `base.py:219-241`.
+
+        When ``clip_x_start`` clips x̂₀, the returned noise is RE-DERIVED from
+        the clipped x̂₀ so the pair stays self-consistent — the raw model
+        output would silently bias DDIM steps whenever |x̂₀| > 1."""
         model_output = self.feed_model(params, x, t, x_cond)
         maybe_clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
 
         if self.objective == "pred_noise":
             pred_noise = model_output
             x_start = maybe_clip(self.process.predict_start_from_noise(x, t, pred_noise))
+            if clip_x_start:
+                pred_noise = self.process.predict_noise_from_start(x, t, x_start)
         elif self.objective == "pred_x0":
             x_start = maybe_clip(model_output)
             pred_noise = self.process.predict_noise_from_start(x, t, x_start)
@@ -278,12 +284,36 @@ class GaussianDiffusion:
         times = list(reversed(times.astype(int).tolist()))
         time_pairs = list(zip(times[:-1], times[1:]))
 
+        # hoist the loop-invariant conditioning projection (same fast path
+        # as p_sample_loop) — without it every DDIM step recomputes the
+        # [N,B,cond]·W product inside the model
+        u_cond = None
+        if self.cond_embed is not None and self.model_apply_ucond is not None and x_cond is not None:
+            u_cond = self.cond_embed(params, x_cond)
+
+        def predictions(img, time, tb):
+            if u_cond is None:
+                return self.model_predictions(
+                    params, img, tb, x_cond, clip_x_start=self.clip_denoised
+                )
+            model_output = self.model_apply_ucond(params, img, time, u_cond)
+            if self.activation == "tanh":
+                model_output = jnp.tanh(model_output)
+            maybe_clip = (
+                (lambda v: jnp.clip(v, -1.0, 1.0)) if self.clip_denoised else (lambda v: v)
+            )
+            if self.objective == "pred_noise":
+                x_start = maybe_clip(self.process.predict_start_from_noise(img, time, model_output))
+            elif self.objective == "pred_x0":
+                x_start = maybe_clip(model_output)
+            else:  # pred_v
+                x_start = maybe_clip(self.process.predict_start_from_v(img, time, model_output))
+            return self.process.predict_noise_from_start(img, time, x_start), x_start
+
         acp = self.process.alphas_cumprod
         for i, (time, time_next) in enumerate(time_pairs):
             tb = jnp.full((batch,), time, dtype=jnp.int32)
-            pred_noise, x_start = self.model_predictions(
-                params, img, tb, x_cond, clip_x_start=self.clip_denoised
-            )
+            pred_noise, x_start = predictions(img, time, tb)
             if time_next < 0:
                 img = x_start
                 continue
@@ -336,9 +366,12 @@ class GaussianDiffusion:
             img, = carry
             tb = jnp.full((batch,), t, dtype=jnp.int32)
             model_output = self.feed_model(params, img, tb, x_cond)
-            x_start = model_output if self.objective == "pred_x0" else (
-                self.process.predict_start_from_noise(img, t, model_output)
-            )
+            if self.objective == "pred_x0":
+                x_start = model_output
+            elif self.objective == "pred_noise":
+                x_start = self.process.predict_start_from_noise(img, t, model_output)
+            else:  # pred_v
+                x_start = self.process.predict_start_from_v(img, t, model_output)
             if self.clip_denoised:
                 x_start = jnp.clip(x_start, -1.0, 1.0)
             mean, _, log_var = self.process.q_posterior(x_start, img, t)

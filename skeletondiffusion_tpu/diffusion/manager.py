@@ -106,12 +106,18 @@ def create_diffusion(
             loss_reduction_type=loss_reduction_type,
         )
     elif diffusion_type == "IsotropicGaussianDiffusion":
+        if diffusion_loss_type not in ("mse", "l1"):
+            # every other enum here raises on unknown values — a typo'd
+            # loss type must not silently train with a different loss
+            raise NotImplementedError(
+                f"isotropic diffusion_loss_type={diffusion_loss_type!r} (use 'mse' or 'l1')"
+            )
         process = build_isotropic_process(
             timesteps=diffusion_timesteps,
             objective=diffusion_objective,
             beta_schedule=beta_schedule,
             beta_schedule_factor=beta_schedule_factor,
-            loss_type=diffusion_loss_type if diffusion_loss_type in ("mse", "l1") else "mse",
+            loss_type=diffusion_loss_type,
         )
     else:
         raise NotImplementedError(diffusion_type)

@@ -207,11 +207,9 @@ class NonisotropicProcess:
     # ---- loss -----------------------------------------------------------------
     def loss_terms(self, model_out: Array, target: Array, t: Array) -> Array:
         """Mahalanobis distance |Λ̄_t^{-1/2}Uᵀ(x̂−x)| (L1) or its square;
-        reference `nonisotropic.py:177-190`."""
-        if self.objective == "pred_noise":
-            difference = target - model_out
-        else:
-            difference = model_out - target
+        reference `nonisotropic.py:177-190` (which flips the difference's
+        sign per objective — a no-op under the |·|, not replicated)."""
+        difference = model_out - target
         loss = jnp.abs(self._matmul(self.mahalanobis_S_sqrt_recip, t, difference))
         if self.loss_reduction_type == "l1":
             return loss

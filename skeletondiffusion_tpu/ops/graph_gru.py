@@ -120,6 +120,7 @@ class StaticGraphLSTMCell(nn.Module):
     learn_additive_graph_influence: bool = False
     use_bias: bool = True
     node_major: bool = False
+    compute_dtype: str = None  # e.g. 'bfloat16'; params/carries stay fp32
 
     @nn.compact
     def __call__(self, carry: GraphLSTMState, x: Array) -> Tuple[GraphLSTMState, Array]:
@@ -127,6 +128,7 @@ class StaticGraphLSTMCell(nn.Module):
         type_index, n_types = _type_index(self.node_types, self.num_nodes)
         H = self.hidden_size
         base = uniform_stdv(H)
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
         def tied(key, shape, dtype=jnp.float32):
             w = base(key, shape, dtype)
@@ -136,17 +138,28 @@ class StaticGraphLSTMCell(nn.Module):
         w_hh = self.param("weight_hh", tied, (n_types, H, 4 * H))
 
         mm = gmm_nm if self.node_major else gmm
-        gates = mm(x, w_ih[type_index]) + mm(hx, w_hh[type_index])
+        if cdt is not None:
+            x, hx_c = x.astype(cdt), hx.astype(cdt)
+            w_ih, w_hh = w_ih.astype(cdt), w_hh.astype(cdt)
+        else:
+            hx_c = hx
+        gates = mm(x, w_ih[type_index]) + mm(hx_c, w_hh[type_index])
         if self.use_bias:
             # only bias_hh enters the forward pass (`recurrent.py:149-150`);
             # bias_ih exists upstream but is unused — not replicated
             b_hh = self.param("bias_hh", base, (n_types, 4 * H))
+            if cdt is not None:
+                b_hh = b_hh.astype(cdt)
             gates = gates + (b_hh[type_index][:, None, :] if self.node_major else b_hh[type_index])
-        gates = gmix_nm(gx, gates) if self.node_major else jnp.einsum("nm,bmo->bno", gx, gates)
+        gx_c = gx.astype(cdt) if cdt is not None else gx
+        gates = gmix_nm(gx_c, gates) if self.node_major else jnp.einsum("nm,bmo->bno", gx_c, gates)
 
         i, f, g, o = jnp.split(gates, 4, axis=-1)
-        cy = jax.nn.sigmoid(f) * cx + jax.nn.sigmoid(i) * jnp.tanh(g)
-        hy = jax.nn.sigmoid(o) * jnp.tanh(cy)
+        # carried (h, c) stay float32 — see the GRU cell
+        cy = jax.nn.sigmoid(f).astype(cx.dtype) * cx + (
+            jax.nn.sigmoid(i) * jnp.tanh(g)
+        ).astype(cx.dtype)
+        hy = jax.nn.sigmoid(o).astype(cx.dtype) * jnp.tanh(cy)
 
         if self.learn_additive_graph_influence:
             G_add = self.param("G_add", nn.initializers.zeros, (self.num_nodes, self.num_nodes))

@@ -31,9 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..attention import sinusoidal_pos_emb
-from ..graph_linear import l1_normalize_rows
 from .resnet_block import (
     _pad_last,
+    influence_of,
     final_block_head_pallas_padded,
     pad_film,
     prep_resnet_params,
@@ -84,13 +84,13 @@ def prep_fused_denoiser(den, variables: dict, f_pad: int = 256) -> dict:
     stem = dict(
         w=w_init.astype(cdt),
         b=_pad_last(il["bias"][idx], f_pad).astype(cdt),
-        g=l1_normalize_rows(il["G"]).astype(cdt),
+        g=influence_of(il, N).astype(cdt),
     )
     fg = p["final_glin"]
     head = dict(
         w=_pad_last(jnp.pad(fg["weight"][idx], ((0, 0), (0, f_pad - F), (0, 0))), 128).astype(cdt),
         b=_pad_last(fg["bias"][idx], 128).astype(cdt),
-        g=l1_normalize_rows(fg["G"]).astype(cdt),
+        g=influence_of(fg, N).astype(cdt),
     )
 
     # rectangular final block (2F→F, `generator.py:103-105`): block1 and the
@@ -111,12 +111,12 @@ def prep_fused_denoiser(den, variables: dict, f_pad: int = 256) -> dict:
     final = dict(
         w1=_rect_w(fb1["weight"][idx]),
         b1=_pad_last(fb1["bias"][idx], f_pad).astype(cdt),
-        g1=l1_normalize_rows(fb1["G"]).astype(cdt),
+        g1=influence_of(fb1, N).astype(cdt),
         wr=_rect_w(fbr["weight"][idx]),
-        gr=l1_normalize_rows(fbr["G"]).astype(cdt),
+        gr=influence_of(fbr, N).astype(cdt),
         w2=_pad_last(jnp.pad(fb2["weight"][idx], ((0, 0), (0, f_pad - F), (0, 0))), f_pad).astype(cdt),
         b2=_pad_last(fb2["bias"][idx], f_pad).astype(cdt),
-        g2=l1_normalize_rows(fb2["G"]).astype(cdt),
+        g2=influence_of(fb2, N).astype(cdt),
         film_k=fb["mlp"]["kernel"],
         film_b=fb["mlp"]["bias"],
     )
@@ -133,9 +133,9 @@ def prep_fused_denoiser(den, variables: dict, f_pad: int = 256) -> dict:
             w_qkv=jnp.pad(
                 a["to_qkv"]["weight"][idx], ((0, 0), (0, f_pad - F), (0, 0))
             ).astype(cdt),
-            g_qkv=l1_normalize_rows(a["to_qkv"]["G"]).astype(cdt),
+            g_qkv=influence_of(a["to_qkv"], N).astype(cdt),
             w_out=_pad_last(a["to_out"]["weight"][idx], f_pad).astype(cdt),
-            g_out=l1_normalize_rows(a["to_out"]["G"]).astype(cdt),
+            g_out=influence_of(a["to_out"], N).astype(cdt),
         ))
     return {"blocks": blocks, "attns": attns, "stem": stem, "head": head,
             "final": final}

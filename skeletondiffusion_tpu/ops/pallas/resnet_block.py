@@ -391,12 +391,23 @@ def final_block_head_pallas_padded(
       whp.astype(dt), bhp.astype(dt), gh.astype(dt))
 
 
+def influence_of(params_subtree: dict, num_nodes: int):
+    """Row-normalized influence matrix of a ``StaticGraphLinear`` subtree —
+    identity when the module was built with ``learn_influence=False`` (no
+    ``G`` param exists then, `graph_linear.py:113-117`)."""
+    from ..graph_linear import l1_normalize_rows
+
+    if "G" in params_subtree:
+        return l1_normalize_rows(params_subtree["G"])
+    import jax.numpy as jnp_
+
+    return jnp_.eye(num_nodes, dtype=jnp_.float32)
+
+
 def prep_resnet_params(block_params: dict, node_types: Optional[np.ndarray], num_nodes: int):
     """Gather a flax ``ResnetBlock`` param subtree into kernel operands
     (per-node weight banks, row-normalized Gs).  The FiLM projection
     (``mlp``) is applied OUTSIDE the kernel (it depends on t, not on x)."""
-    from ..graph_linear import l1_normalize_rows
-
     type_index = (
         np.zeros(num_nodes, dtype=np.int32)
         if node_types is None
@@ -406,7 +417,7 @@ def prep_resnet_params(block_params: dict, node_types: Optional[np.ndarray], num
     p2 = block_params["block2"]["proj"]
     return dict(
         w1=p1["weight"][type_index], b1=p1["bias"][type_index],
-        g1=l1_normalize_rows(p1["G"]),
+        g1=influence_of(p1, num_nodes),
         w2=p2["weight"][type_index], b2=p2["bias"][type_index],
-        g2=l1_normalize_rows(p2["G"]),
+        g2=influence_of(p2, num_nodes),
     )

@@ -109,3 +109,27 @@ def test_dynamic_graph_linear_subgraph_selection():
     out_g = lin.apply(params, x, g=g_sub)
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_g), atol=1e-6)
     assert out_t.shape == (2, 4, 5)
+
+
+def test_lstm_architecture_usable():
+    """StaticGraphLSTM encoder+decoder init/apply (review finding: the LSTM
+    cell lacked the compute_dtype field every caller passes, so the whole
+    architecture crashed with TypeError)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skeletondiffusion_tpu.models import AutoEncoder
+
+    N, H, L, OBS, PH, B = 5, 8, 8, 4, 6, 2
+    for cdt in (None, "bfloat16"):
+        ae = AutoEncoder(
+            num_nodes=N, encoder_hidden_size=H, decoder_hidden_size=H,
+            latent_size=L, recurrent_arch_enc="StaticGraphLSTM",
+            recurrent_arch_decoder="StaticGraphLSTM", compute_dtype=cdt,
+        )
+        x = jax.random.normal(jax.random.key(0), (B, OBS, N, 3)) * 0.2
+        y = jax.random.normal(jax.random.key(1), (B, PH, N, 3)) * 0.2
+        params = ae.init(jax.random.key(2), y, x, ph=PH, method=AutoEncoder.autoencode)
+        out, z_past, z = ae.apply(params, y, x, ph=PH, method=AutoEncoder.autoencode)
+        assert out.shape == (B, PH, N, 3) and bool(jnp.isfinite(out).all()), cdt
+        assert z.shape == (B, N, L) and bool(jnp.isfinite(z).all()), cdt

@@ -111,3 +111,26 @@ def test_fused_denoiser_ragged_batch():
     out = fused_denoiser_apply(den, variables, x, t, u, batch_tile=8, interpret=True)
     assert out.shape == (Brag, N, L)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def test_fused_denoiser_no_learn_influence():
+    """learn_influence=False denoisers have no G params — the fused prep must
+    substitute identity influence instead of KeyError'ing (review finding)."""
+    from skeletondiffusion_tpu.models.denoiser import Denoiser
+    from skeletondiffusion_tpu.ops.pallas.denoiser_fused import fused_denoiser_apply
+
+    L = 96
+    den = Denoiser(
+        dim=L, out_dim=L, channels=N, cond_dim=L, depth=1,
+        node_types=NODE_TYPES, learn_influence=False,
+        attn_dim_head=32, attn_heads=8, node_major=True,
+    )
+    x = jax.random.normal(jax.random.key(30), (8, N, L)) * 0.5
+    xc = jax.random.normal(jax.random.key(31), (8, N, L)) * 0.5
+    t = jnp.asarray(2, jnp.int32)
+    variables = den.init(jax.random.key(32), x, t, xc)
+
+    ref = den.apply(variables, x, t, xc)
+    u = den.apply(variables, xc, method=Denoiser.cond_embedding)
+    out = fused_denoiser_apply(den, variables, x, t, u, batch_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
