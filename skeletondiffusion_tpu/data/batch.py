@@ -168,8 +168,11 @@ def prefetch_iterator(iterable, prefetch: int = 2, to_device: bool = False):
             for item in iterable:
                 if not put(ship(item)):
                     return
-        finally:
-            put(_END)
+        except BaseException as e:  # propagate to the consumer — a swallowed
+            # producer error would look like a clean (truncated!) epoch end
+            put(("__prefetch_error__", e))
+            return
+        put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -178,6 +181,8 @@ def prefetch_iterator(iterable, prefetch: int = 2, to_device: bool = False):
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+                raise item[1]
             yield item
     finally:
         # consumer stopped early (break / GeneratorExit): halt the producer

@@ -14,9 +14,24 @@ from typing import Dict, List, Set
 import numpy as np
 
 
+def _to_metric_space(skeleton, x: np.ndarray) -> np.ndarray:
+    """RAW world-frame segments → the skeleton's METRIC space (hip-centered,
+    root handled per config).  The reference computes both statistics on
+    metric-space poses — its dataloader emits input-space tensors and
+    `math_utils.py:23,89` applies ``transform_to_metric_space``; our
+    ``__getitem__`` returns raw segments (the input transform runs batched
+    on device), so compose both transforms here.  Raw world coordinates
+    would inflate every displacement by the global locomotion and make
+    far-apart identical poses never match."""
+    return np.asarray(
+        skeleton.transform_to_metric_space(skeleton.tranform_to_input_space(x))
+    )
+
+
 def compute_mean_motions(dataset, batch_size: int = 128):
-    """Per-class mean frame displacement over the test split; reference
-    `math_utils.py:8-48`."""
+    """Per-class mean frame displacement over the test split, in METRIC
+    space; reference `math_utils.py:8-48`."""
+    skeleton = dataset.skeleton
     class_to_idx = dataset.class_to_idx
     class_average = {k: 0.0 for k in class_to_idx}
     class_counter = {k: 0 for k in class_to_idx}
@@ -27,7 +42,7 @@ def compute_mean_motions(dataset, batch_size: int = 128):
             _, pred, extra = dataset[i]
             targets.append(pred)
             classes.append(dataset.extract_action_label(extra))
-        target = np.stack(targets)  # raw metric space already
+        target = _to_metric_space(skeleton, np.stack(targets))
         vel = np.linalg.norm(target[:, 1:] - target[:, :-1], axis=-1)  # [b,T-1,J]
         per_item = vel.mean(axis=-1).mean(axis=-1)  # [b]
         for label, v in zip(classes, per_item):
@@ -50,13 +65,22 @@ def get_multimodal_gt(
     """
     N = last_obs_frames.shape[0]
     flat = last_obs_frames.reshape(N, -1).astype(np.float64)
+    sq = (flat * flat).sum(axis=1)
+    thr2 = float(multimodal_threshold) ** 2
     neighbors: Dict[int, Set[int]] = {}
     for i0 in range(0, N, chunk):
         a = flat[i0 : i0 + chunk]
         for j0 in range(i0, N, chunk):
             b = flat[j0 : j0 + chunk]
-            d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
-            ii, jj = np.nonzero(d < multimodal_threshold)
+            # Gram expansion ‖a−b‖² = ‖a‖²+‖b‖²−2abᵀ: only the [chunk,chunk]
+            # distance matrix materializes (the broadcast difference would be
+            # a ~2 GB [chunk,chunk,J·3] block per pair)
+            d2 = (
+                sq[i0 : i0 + a.shape[0], None]
+                + sq[None, j0 : j0 + b.shape[0]]
+                - 2.0 * (a @ b.T)
+            )
+            ii, jj = np.nonzero(d2 < thr2)
             for x, y in zip(ii + i0, jj + j0):
                 neighbors.setdefault(int(x), set()).add(int(y))
                 neighbors.setdefault(int(y), set()).add(int(x))
@@ -74,11 +98,12 @@ def save_mmgt(mmgt: Dict[int, List[int]], path: str):
 def compute_multimodal_gt_for_dataset(
     dataset, skeleton, multimodal_threshold: float, dest_path: str, chunk: int = 2048
 ):
-    """End-to-end: gather last obs frames (metric space ≡ raw segments for
-    the hmp task) → neighbor dict → file; reference
-    `create_dataset_utils.py:34-66`."""
+    """End-to-end: gather last obs frames, map to METRIC space (the space
+    the reference thresholds in — see ``_to_metric_space``) → neighbor dict
+    → file; reference `create_dataset_utils.py:34-66`."""
     n = len(dataset)
     last_frames = np.stack([dataset[i][0][-1] for i in range(n)])
+    last_frames = _to_metric_space(skeleton, last_frames)
     mmgt = get_multimodal_gt(last_frames, multimodal_threshold, chunk=chunk)
     save_mmgt(mmgt, dest_path)
     return mmgt

@@ -344,14 +344,18 @@ def compute_metrics(
         fid_acc = FIDAccumulator()
 
         @jax.jit
-        def fid_feats(pred_m, target_m):
+        def fid_feats(key, pred_m, target_m):
             # [B,S,T,J,3] → [B·S, J·3, T]; [B,T,J,3] → [B, J·3, T]
-            # (reference `fid.py:108-119`)
+            # (reference `fid.py:108-119`).  The reference protocol draws a
+            # FRESH random GRU h0 per batch (`fid_classifier.py:56-57`,
+            # torch.randn) — zeros would shift the activation statistics and
+            # make the FID non-comparable to published numbers.
             B, S, T = pred_m.shape[:3]
             p = pred_m.reshape(B * S, T, -1).transpose(0, 2, 1)
             g = target_m.reshape(target_m.shape[0], T, -1).transpose(0, 2, 1)
-            h0p = jnp.zeros((clf.hidden_layer, p.shape[0], clf.hidden_size))
-            h0g = jnp.zeros((clf.hidden_layer, g.shape[0], clf.hidden_size))
+            kp, kg = jax.random.split(key)
+            h0p = jax.random.normal(kp, (clf.hidden_layer, p.shape[0], clf.hidden_size))
+            h0g = jax.random.normal(kg, (clf.hidden_layer, g.shape[0], clf.hidden_size))
             fp = clf.apply(fid_classifier_params, p, h0p, method=ClassifierForFID.get_fid_features)
             fg = clf.apply(fid_classifier_params, g, h0g, method=ClassifierForFID.get_fid_features)
             return fp, fg
@@ -419,7 +423,7 @@ def compute_metrics(
             )[:count]
         suite.update(vals, class_idxs=class_idxs, count=count)
         if fid_acc is not None:
-            fp, fg = fid_feats(pred_m, target_m)
+            fp, fg = fid_feats(jax.random.fold_in(k, 2**20), pred_m, target_m)
             # fp is [B·S, feat]: pad rows are the trailing (B-count)·S
             fid_acc.update(np.asarray(fp)[: count * num_samples], np.asarray(fg)[:count])
         if store is not None:

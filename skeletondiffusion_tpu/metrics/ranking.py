@@ -19,10 +19,16 @@ def get_closest_and_nfurthest_maxapd(pred: np.ndarray, target: np.ndarray, nsamp
 
     pair = np.linalg.norm(flat[:, None] - flat[None], axis=-1)  # [S,S]
     chosen = [closest_idx]
-    for _ in range(nsamples):
+    # nsamples == S is legal (the reference seeds its greedy with a pseudo-GT
+    # row, so all S samples stay pickable): once every sample but the seed is
+    # chosen, the closest sample itself completes the set
+    for _ in range(min(nsamples, S - 1)):
         remaining = [i for i in range(S) if i not in chosen]
         # greedy: pick the sample maximizing its min distance to chosen set
         scores = [pair[i, chosen].min() for i in remaining]
         chosen.append(remaining[int(np.argmax(scores))])
     diverse = chosen[1:]
+    if nsamples >= S:
+        diverse = diverse + [closest_idx]
+    diverse = diverse[:nsamples]
     return pred[closest_idx], pred[diverse], np.asarray(diverse)

@@ -81,10 +81,14 @@ class TrainerDiffusion:
         self.lr_scheduler = (
             make_lr_scheduler(lr=lr, **(lr_scheduler_kwargs or {})) if use_lr_scheduler else None
         )
+        # weight decay BEFORE the Adam moments: the reference uses
+        # torch.optim.Adam(weight_decay=·), i.e. coupled L2 added to the
+        # gradient (decoupled AdamW-style decay after scale_by_adam would
+        # diverge from reference trajectories whenever weight_decay > 0)
         self.tx = optax.chain(
             optax.clip_by_global_norm(max_grad_norm),
-            optax.scale_by_adam(b1=adam_betas[0], b2=adam_betas[1]),
             optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+            optax.scale_by_adam(b1=adam_betas[0], b2=adam_betas[1]),
         )
         self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_val = jax.jit(self._validation_step, static_argnames=("num_samples",))

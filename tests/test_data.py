@@ -206,3 +206,21 @@ def test_normalize_data_stats_path(fixture_dir, skeleton):
     )
     _, pred3, extra3 = ds3[0]
     assert np.abs(extra3["mm_gt"]).max() < 20  # standardized scale
+
+
+def test_mmgt_computed_in_metric_space(fixture_dir, skeleton, tmp_path):
+    """Identical poses at different WORLD positions must be mm-GT neighbors:
+    the threshold applies in the skeleton's metric space (hip-centered), not
+    raw world coordinates (review finding; reference `math_utils.py:89`)."""
+    from skeletondiffusion_tpu.data.mmgt import _to_metric_space, get_multimodal_gt
+
+    rng = np.random.default_rng(5)
+    pose = rng.standard_normal((1, 22, 3)) * 0.2
+    # same pose, far-apart world translations
+    frames_raw = np.concatenate([pose, pose + np.array([5.0, 0.0, 2.0])], axis=0)
+    frames_m = _to_metric_space(skeleton, frames_raw)
+    mmgt = get_multimodal_gt(frames_m, multimodal_threshold=0.1)
+    assert mmgt[0] == [0, 1] and mmgt[1] == [0, 1]
+    # raw world frames would never match
+    mmgt_raw = get_multimodal_gt(frames_raw.reshape(2, -1, 3), multimodal_threshold=0.1)
+    assert mmgt_raw[0] == [0]

@@ -95,3 +95,20 @@ def test_limb_metrics_match(g, sk):
     )
     np.testing.assert_allclose(np.asarray(limb_length_error(targ, pred, ls)), g["limb_err"], atol=1e-5)
     np.testing.assert_allclose(np.asarray(limb_length_variance(pred, ls)), g["limb_var"], atol=1e-5)
+
+
+def test_ranking_all_samples_requested():
+    """nsamples == S must return all samples (review finding: np.argmax on
+    an empty candidate list crashed; the reference handles this case)."""
+    import numpy as np
+
+    from skeletondiffusion_tpu.metrics.ranking import get_closest_and_nfurthest_maxapd
+
+    rng = np.random.default_rng(0)
+    pred = rng.standard_normal((5, 4, 3, 3))
+    target = rng.standard_normal((4, 3, 3))
+    closest, diverse, idx = get_closest_and_nfurthest_maxapd(pred, target, nsamples=5)
+    assert diverse.shape[0] == 5 and len(set(idx.tolist())) == 5
+    # and the usual sub-S request still works
+    _, d3, i3 = get_closest_and_nfurthest_maxapd(pred, target, nsamples=3)
+    assert d3.shape[0] == 3 and len(set(i3.tolist())) == 3
