@@ -113,11 +113,14 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     loader_key = f"data_loader_{split}"
     if loader_key not in cfg:
         loader_key = "data_loader_test"
+    # CMD needs the test split's mean-motion statistics and class labels
+    # (reference gates identically, `config_metrics.py:86`)
+    if_compute_cmd = bool(cfg.get("if_compute_cmd", False)) and split == "test"
     dataset = build_dataset(
         cfg, skeleton, split, loader_key,
         if_long_term_test=cfg.get("if_long_term_test", False),
         long_term_factor=cfg.get("long_term_factor", 2.5),
-        if_compute_cmd=cfg.get("if_compute_cmd", False),
+        if_compute_cmd=if_compute_cmd,
         if_noisy_obs=cfg.get("if_noisy_obs", False),
         noise_level=cfg.get("noise_level", 0.25),
         noise_std=cfg.get("noise_std", 0.02),
@@ -154,43 +157,43 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
 
     timer = AverageTimer() if cfg.get("if_measure_time") else None
     # on-device profiling (SURVEY §5: the reference only has wall-clock
-    # timing; the TPU-native equivalent is a jax.profiler trace)
+    # timing; the TPU-native equivalent is a jax.profiler trace).
+    # profile_trace is a context manager with a finally-guarded stop, so a
+    # failing eval never leaves a dangling trace session.
+    from ..utils.debug import profile_trace
+
     prof_dir = None
     if cfg.get("if_profile"):
         prof_dir = os.path.join(cfg.get("checkpoint_path") or ".", "profile")
-        try:
-            jax.profiler.start_trace(prof_dir)
-        except Exception as e:  # profiling must never break eval
-            print(f"profiler unavailable: {e}")
-            prof_dir = None
     store = None
     if cfg.get("if_store_output"):
         store = ResultStorer(cfg["store_output_path"], store_gt=cfg.get("if_store_gt", False))
 
-    results = compute_metrics(
-        predictor, dataset, skeleton,
-        batch_size=cfg["batch_size"],
-        num_samples=cfg.get("num_samples", 50),
-        stats_mode=cfg.get("stats_mode", "deterministic"),
-        seed=cfg.get("seed", 0),
-        if_compute_cmd=cfg.get("if_compute_cmd", False),
-        if_compute_apde=cfg.get("if_compute_apde", False),
-        mmapd_gt_path=os.path.join(cfg["annotations_folder"], "mmapd_GT.csv")
-        if cfg.get("if_compute_apde") else None,
-        if_long_term_test=cfg.get("if_long_term_test", False),
-        long_term_factor=cfg.get("long_term_factor", 2.5),
-        pred_length=cfg.get("pred_length"),
-        if_noisy_obs=cfg.get("if_noisy_obs", False),
-        noise_level=cfg.get("noise_level", 0.25),
-        noise_std=cfg.get("noise_std", 0.02),
-        store=store,
-        timer=timer,
-        ndebug=bool(int(os.environ.get("NDEBUG", "0"))),
-        fid_classifier_params=fid_params,
-        mesh=mesh,
-    )
+    with profile_trace(prof_dir):
+        results = compute_metrics(
+            predictor, dataset, skeleton,
+            batch_size=cfg["batch_size"],
+            num_samples=cfg.get("num_samples", 50),
+            stats_mode=cfg.get("stats_mode", "deterministic"),
+            seed=cfg.get("seed", 0),
+            if_compute_cmd=if_compute_cmd,
+            if_compute_apde=cfg.get("if_compute_apde", False),
+            mmapd_gt_path=os.path.join(cfg["annotations_folder"], "mmapd_GT.csv")
+            if cfg.get("if_compute_apde") else None,
+            if_long_term_test=cfg.get("if_long_term_test", False),
+            long_term_factor=cfg.get("long_term_factor", 2.5),
+            long_term_strategy=cfg.get("long_term_strategy", "best_every50"),
+            pred_length=cfg.get("pred_length"),
+            if_noisy_obs=cfg.get("if_noisy_obs", False),
+            noise_level=cfg.get("noise_level", 0.25),
+            noise_std=cfg.get("noise_std", 0.02),
+            store=store,
+            timer=timer,
+            ndebug=bool(int(os.environ.get("NDEBUG", "0"))),
+            fid_classifier_params=fid_params,
+            mesh=mesh,
+        )
     if prof_dir is not None:
-        jax.profiler.stop_trace()
         print("profiler trace written to", prof_dir)
     print(draw_table(results))
     if timer is not None:

@@ -122,12 +122,15 @@ def train(cfg: Dict) -> str:
         # holding device buffers
         bounded = bounded_batches(loader, iter_per_epoch)
         for it, batch in enumerate(prefetch_iterator(bounded, to_device=True)):
-            k = iteration_key(ek, it)
-            obs_t, pred_t, _ = preprocess(k, batch["obs"], batch["pred"])
+            # independent keys for augmentation vs the train step: jax
+            # split's prefix property makes reusing one key couple the two
+            # streams bit-exactly (split(k,2)[i] == split(k,6)[i])
+            k_pre, k_step = jax.random.split(iteration_key(ek, it))
+            obs_t, pred_t, _ = preprocess(k_pre, batch["obs"], batch["pred"])
             if mesh is not None:
                 obs_t, pred_t = shard_batch(mesh, obs_t), shard_batch(mesh, pred_t)
             state, loss, ph = trainer.train_step(
-                state, k, (obs_t, pred_t), epoch=epoch, iteration=it_global
+                state, k_step, (obs_t, pred_t), epoch=epoch, iteration=it_global
             )
             losses.append(float(loss))
             # per-iteration loss/lr + param/grad norms every 100 iterations

@@ -163,11 +163,15 @@ def train(cfg: Dict) -> str:
         # prefetch generator breaks bit-faithful resume + pins device buffers)
         bounded = bounded_batches(loader, iter_per_epoch)
         for it, batch in enumerate(prefetch_iterator(bounded, to_device=True)):
-            k = iteration_key(ek, it)
-            obs_t, pred_t, _ = preprocess(k, batch["obs"], batch["pred"])
+            # independent keys for augmentation vs the train step (see
+            # train_autoencoder: split's prefix property couples the streams
+            # bit-exactly if one key is reused — every item's mirror flip
+            # would be encoded in the diffusion noise signs)
+            k_pre, k_step = jax.random.split(iteration_key(ek, it))
+            obs_t, pred_t, _ = preprocess(k_pre, batch["obs"], batch["pred"])
             if mesh is not None:
                 obs_t, pred_t = shard_batch(mesh, obs_t), shard_batch(mesh, pred_t)
-            state, loss = trainer.train_step(state, k, (obs_t, pred_t))
+            state, loss = trainer.train_step(state, k_step, (obs_t, pred_t))
             losses.append(float(loss))
             # per-iteration loss/lr + param/grad norms every 100 iterations
             # (reference `src/utils/tensorboard.py:58-122`)
@@ -252,11 +256,14 @@ def main(argv: Optional[List[str]] = None):
     # inherit the autoencoder experiment's stored config (reference
     # `train_diffusion.py:134-150` + `src/utils/config.py:14-31`)
     flat = flatten_config(cfg)
-    ae_cfg_path = os.path.join(
-        os.path.dirname(flat["pretrained_autoencoder_path"].rstrip("/")), "config.yaml"
-    )
+    ae_dir = flat["pretrained_autoencoder_path"].rstrip("/")
+    ae_cfg_path = os.path.join(os.path.dirname(ae_dir), "config.yaml")
     if not os.path.exists(ae_cfg_path):
-        ae_cfg_path = os.path.join(flat["pretrained_autoencoder_path"], "..", "config.yaml")
+        # path points at a specific checkpoint (<exp>/checkpoints/ckpt_N,
+        # supported by load_frozen_autoencoder) → config sits two levels up
+        ae_cfg_path = os.path.join(
+            os.path.dirname(os.path.dirname(ae_dir)), "config.yaml"
+        )
     merged = load_and_merge_autoenc_cfg(flat, os.path.abspath(ae_cfg_path))
     return train(merged)
 

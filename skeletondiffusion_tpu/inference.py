@@ -44,13 +44,16 @@ def quick_cfg_for_inference(
             *(overrides or []),
         ])
     )
-    cfg_orig, _ = load_model_config_exp(checkpoint_path)
+    cfg_orig, exp_folder = load_model_config_exp(checkpoint_path)
     # stored experiment config fills everything the eval tree does not set;
     # train-owned keys (pose_box_size, seq_centering, arch, …) are absent
     # from the eval tree so the checkpoint's values win (reference
     # `eval.py:161-166` semantics)
     merged = dict(cfg_orig)
     merged.update(cfg)
+    # a checkpoint FILE path resolves to its experiment folder here —
+    # prepare_model expects the folder (it restores the best checkpoint)
+    merged["checkpoint_path"] = exp_folder
     return merged
 
 

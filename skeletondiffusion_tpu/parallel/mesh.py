@@ -56,13 +56,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """Device-put every array leaf with its batch axis sharded over 'data'."""
+    """Device-put every array leaf with its batch axis sharded over 'data'.
+
+    Multi-process (DCN) runs delegate to :func:`shard_batch_global` — plain
+    ``jax.device_put`` cannot target the other hosts' non-addressable
+    devices, so the CLIs' single call site stays correct on one host AND
+    across hosts (each process feeds its local batch slice)."""
+    if jax.process_count() > 1:
+        return shard_batch_global(mesh, tree)
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate every leaf across the mesh; multi-process runs build the
+    global array from identical per-process data (device_put cannot address
+    remote devices)."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), tree
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 

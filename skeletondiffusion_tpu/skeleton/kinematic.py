@@ -50,6 +50,14 @@ class Kinematic:
     def left_right_limb(self) -> List[bool]:
         return list(self.left_right_limb_list)
 
+    @property
+    def left_right_limb_nodes(self) -> List[bool]:
+        """``left_right_limb`` re-indexed to NODE order — with the hip
+        dropped, node i is NOT original joint i, so indexing the per-joint
+        flags with node indices would shift every left/right color by one."""
+        by_name = dict(zip(self.joint_dict_orig.values(), self.left_right_limb_list))
+        return [by_name[self.node_dict[i]] for i in range(self.num_nodes)]
+
     # ---- graph structure ----------------------------------------------
     def parents(self, mode: str = "original") -> List[Optional[int]]:
         """Parent per joint; reference `kinematic/base.py:29-37`."""

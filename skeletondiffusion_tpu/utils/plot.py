@@ -22,6 +22,18 @@ def plot_pose(ax, pose: np.ndarray, limbseq, left_right: Optional[Sequence[bool]
         )
 
 
+def _left_right_for(skeleton, mode: str = "node"):
+    """left/right flags aligned with the limbseq space actually drawn:
+    node-space poses need the NODE-reindexed flags (the per-joint list is
+    indexed by ORIGINAL joint ids incl. the dropped root — using it with
+    node indices shifts every color by one)."""
+    if skeleton is None:
+        return None
+    if mode == "node" and not getattr(skeleton, "if_consider_hip", True):
+        return getattr(skeleton, "left_right_limb_nodes", None)
+    return getattr(skeleton, "left_right_limb", None)
+
+
 def animate_motion(
     motions: Sequence[np.ndarray],
     skeleton,
@@ -58,7 +70,7 @@ def animate_motion(
             if titles:
                 ax.set_title(titles[i])
             plot_pose(ax, np.asarray(motion)[min(t, len(motion) - 1)], limbseq,
-                      getattr(skeleton, "left_right_limb", None))
+                      _left_right_for(skeleton, mode))
         return axes
 
     anim = FuncAnimation(fig, draw, frames=T, interval=1000 / fps)
@@ -136,7 +148,7 @@ def animate_prediction_grid(
     from matplotlib.animation import FuncAnimation
 
     limbseq = skeleton.get_limbseq()
-    lr = getattr(skeleton, "left_right_limb", None)
+    lr = _left_right_for(skeleton)
     n_cells = len(preds)
     nrows = (n_cells + ncols - 1) // ncols
     fig = plt.figure(figsize=(4 * ncols, 4 * nrows))
