@@ -16,6 +16,16 @@ k=50 motion-argmin AMASS model) to a tolerance.
         --expected '{"APD": 9.456, "CMD": 11.418, "StretchMean": 3.15, "StretchRMSE": 4.45}' \
         --tol 1e-3
 
+Exact published artifacts (reference `README.md:154-157,225-241`): the HF
+repo ``SkeletonDiffusion/ModelCheckpoints`` laid out as
+``trained_models/hmp/<dataset>/{autoencoder,diffusion}/checkpoints/*.pt``,
+with the flagship diffusion checkpoint named ``cvpr_release.pt`` per dataset
+(``hmp/amass/diffusion/checkpoints/cvpr_release.pt`` for AMASS; the same
+AMASS checkpoint is reused for zero-shot 3DPW).  The AMASS test data is
+``data_3d_amass.npz`` produced by the preprocessing CLI from the AMASS
+tar.bz2 archives.  The moment those artifacts are present locally, this
+script runs as-is — nothing else is stubbed.
+
 Checkpoint formats accepted per model: a torch ``.pt`` with a ``model`` key
 (reference `src/utils/load.py:11-17`), a bare torch state dict, or an
 ``.npz`` of numpy arrays (the tests/goldens fixtures).  Diffusion dicts may

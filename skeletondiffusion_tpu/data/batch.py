@@ -227,6 +227,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.pad_last = pad_last
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -260,7 +261,11 @@ class DataLoader:
                 if self.drop_last:
                     return
                 if self.pad_last:
-                    pad = self._rng.choice(order, self.batch_size - real_count)
+                    # pad rows come from a dedicated RNG (derived from seed +
+                    # epoch, not the shuffle stream) so pad identity cannot
+                    # perturb shuffle state across epochs
+                    pad_rng = np.random.default_rng((self._seed, self._epoch))
+                    pad = pad_rng.choice(order, self.batch_size - real_count)
                     idx = np.concatenate([idx, pad])
             items = [self.dataset[int(i)] for i in idx]
             batch = collate(items, max_mmgt=max_m)

@@ -201,20 +201,25 @@ class FreeManDataset(MotionDataset):
         path = os.path.join(self.precomputed_folder, "data_3d_freeman.npz")
         data_o = np.load(path, allow_pickle=True)["positions_3d"].item()
         data_f = {key: data_o[key] for key in seqs if key in data_o}
-        file2action = self._file2action()
-        actions_set = sorted(set(file2action.values()))
-        self.idx_to_class = actions_set
-        self.class_to_idx = {v: k for k, v in enumerate(actions_set)}
+        # labels restricted to the LOADED sequences, classes in insertion
+        # order (reference `freeman.py:58-79`): idx_to_class must only name
+        # classes present in this split or the mean_motion_test.txt lookup
+        # (dataset.py::_load_mean_motion) KeyErrors on the real data
+        file2action = {k: v for k, v in self._file2action().items() if k in data_f}
+        if actions != "all":
+            assert isinstance(actions, list)
+            file2action = {k: v for k, v in file2action.items() if v in actions}
+            data_f = {k: v for k, v in data_f.items() if k in file2action}
+        self.seq2action = file2action
+        self.idx_to_class = list(dict.fromkeys(file2action.values()))
+        self.class_to_idx = {v: k for k, v in enumerate(self.idx_to_class)}
         anns_all = []
         self.dict_indices = {}
         self.clip_idx_to_metadata = []
         counter = 0
         for seq_name, seq in data_f.items():
-            action = file2action.get(seq_name, "unknown")
-            if actions != "all" and action not in actions:
-                continue
             self.dict_indices[seq_name] = counter
-            self.clip_idx_to_metadata.append((action, seq_name))
+            self.clip_idx_to_metadata.append((file2action[seq_name], seq_name))
             counter += 1
             anns_all.append(seq.astype(self.dtype))
         return anns_all
@@ -229,9 +234,8 @@ class FreeManDataset(MotionDataset):
             (self.dict_indices[row["name"]], int(row["init"]), int(row["pred_end"]))
             for _, row in df.iterrows()
         ]
-        file2action = self._file2action()
         seg2meta = [
-            (file2action.get(row["name"], "unknown"), row["name"]) for _, row in df.iterrows()
+            (self.seq2action[row["name"]], row["name"]) for _, row in df.iterrows()
         ]
         return segments, seg2meta
 

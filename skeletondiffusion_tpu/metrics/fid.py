@@ -95,7 +95,8 @@ def fid_from_activations(act1: np.ndarray, act2: np.ndarray, eps: float = 1e-6) 
     s1 = np.cov(act1, rowvar=False)
     s2 = np.cov(act2, rowvar=False)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(s1.dot(s2), disp=False)
+    # no `disp=` kwarg: deprecated and removed in SciPy >= 1.18
+    covmean = linalg.sqrtm(s1.dot(s2))
     if not np.isfinite(covmean).all():
         offset = np.eye(s1.shape[0]) * eps
         covmean = linalg.sqrtm((s1 + offset).dot(s2 + offset))

@@ -260,6 +260,42 @@ def main():
         **{k: np64(v) for k, v in clf.state_dict().items()},
     )
 
+    # --- skeleton tables for ALL datasets (non-AMASS parity evidence) --------
+    # adjacency / reachability / node types / limbseqs / limb_angles_idx for
+    # every kinematic the reference ships (`kinematic/{amass,h36m,freeman}.py`)
+    import json as _json
+
+    tables = {}
+    for name, dataset_name, num_joints, hip in (
+        ("amass22", "amass", 22, False),
+        ("amass52", "amass-mano", 52, False),
+        ("h36m17", "h36m", 17, False),
+        # the 25-joint H36M variant only exists with the hip kept
+        # (`h36m.py:98` asserts num_joints == 17 in the no-hip branch)
+        ("h36m25", "h36m", 25, True),
+        ("freeman18", "freeman", 18, False),
+    ):
+        skd = create_skeleton(
+            dataset_name=dataset_name, motion_repr_type="SkeletonRescalePose",
+            num_joints=num_joints, pose_box_size=1.5, obs_length=30,
+            pred_length=120, if_consider_hip=hip,
+        )
+        tables[f"{name}_adj"] = np64(skd.adj_matrix)
+        tables[f"{name}_reach"] = np64(skd.reachability_matrix(factor=0.5, stop_at="hips"))
+        tables[f"{name}_node_types"] = skd.nodes_type_id.numpy().astype(np.int64)
+        tables[f"{name}_limbseq"] = np.asarray(skd.get_limbseq(), dtype=np.int64)
+        tables[f"{name}_metric_limbseq"] = np.asarray(skd.limbseq, dtype=np.int64)
+        tables[f"{name}_left_right"] = np.asarray(skd.left_right_limb, dtype=bool)
+        tables[f"{name}_limb_angles_idx"] = np.array(
+            _json.dumps([list(r) for r in getattr(skd, "limb_angles_idx", [])])
+        )
+        tables[f"{name}_num_nodes"] = np.asarray(skd.num_nodes)
+    from data.skeleton.kinematic.h36m import CONVERSION_IDX_H36M_32TO17, CONVERSION_IDX_H36M_32TO25  # noqa: E402
+
+    tables["h36m_conv_32to17"] = np.asarray(CONVERSION_IDX_H36M_32TO17, dtype=np.int64)
+    tables["h36m_conv_32to25"] = np.asarray(CONVERSION_IDX_H36M_32TO25, dtype=np.int64)
+    np.savez(os.path.join(OUT, "skeleton_tables.npz"), **tables)
+
     print("goldens written to", OUT)
 
 
