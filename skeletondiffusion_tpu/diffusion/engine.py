@@ -180,9 +180,15 @@ class GaussianDiffusion:
         shape: Tuple[int, ...],
         x_cond: Optional[Array] = None,
         start_noise: Optional[Array] = None,
+        step_noise: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """Full reverse process as ONE ``lax.scan`` over t = T-1 … 0;
         reference `base.py:324-390` (Python loop upstream).
+
+        ``step_noise``: optional injected per-step noise ``[B, T-1, N, D]``
+        (reference ``sampling_noise``, `base.py:330-333`): the noise used at
+        timestep t>0 is ``step_noise[:, (T-1)-t]``.  When provided, the plain
+        scan path is taken (the fused node-major path draws its own keys).
 
         Returns ``(x_0 samples, start_noise)``.
         """
@@ -199,6 +205,7 @@ class GaussianDiffusion:
 
         if (
             u_cond is not None
+            and step_noise is None
             and self.sample_step_nm is not None
             and self.objective == "pred_x0"
             and self.clip_denoised
@@ -249,7 +256,12 @@ class GaussianDiffusion:
             if self.clip_denoised:
                 x_start = jnp.clip(x_start, -1.0, 1.0)
             mean, _, log_var = self.process.q_posterior(x_start, img, t)
-            noise = jax.random.normal(jax.random.fold_in(rng_steps, t), shape, dtype=img.dtype)
+            if step_noise is not None:
+                # jnp.take clamps the out-of-range index at t=0; the noise is
+                # zeroed there by the where() below, matching the reference
+                noise = jnp.take(step_noise, self.num_timesteps - 1 - t, axis=1)
+            else:
+                noise = jax.random.normal(jax.random.fold_in(rng_steps, t), shape, dtype=img.dtype)
             noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
             img = self.process.combine_mean_var_noise(mean, log_var, noise)
             return (img,), None
@@ -331,11 +343,17 @@ class GaussianDiffusion:
         batch_size: int = 16,
         x_cond: Optional[Array] = None,
         start_noise: Optional[Array] = None,
+        step_noise: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """Public sampling API mirroring reference `base.py:439-443`."""
         shape = (batch_size, self.channels, self.seq_length)
-        fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
-        return fn(params, rng, shape, x_cond=x_cond, start_noise=start_noise)
+        if self.is_ddim_sampling:
+            if step_noise is not None:
+                raise ValueError("step_noise injection is ancestral-only (as upstream)")
+            return self.ddim_sample(params, rng, shape, x_cond=x_cond, start_noise=start_noise)
+        return self.p_sample_loop(
+            params, rng, shape, x_cond=x_cond, start_noise=start_noise, step_noise=step_noise
+        )
 
     def p_sample_loop_interpolating(
         self,

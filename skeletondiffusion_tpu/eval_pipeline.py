@@ -140,9 +140,15 @@ class SkeletonDiffusionPredictor:
             self.use_fused_denoiser = False
         self._jit_predict = jax.jit(self._predict, static_argnames=("num_samples", "pred_length"))
 
-    def _predict(self, ae_params, diff_params, rng, obs: Array, num_samples: int, pred_length: int):
+    def _predict(self, ae_params, diff_params, rng, obs: Array, num_samples: int, pred_length: int,
+                 start_noise: Optional[Array] = None, step_noise: Optional[Array] = None):
         """obs [B,T,N,3] (input space) → (pred [B,S,T',N,3] input space,
-        latents [B,S,N,D])."""
+        latents [B,S,N,D]).
+
+        ``start_noise``/``step_noise`` are optional injected sampler noise
+        [B·S,N,D] / [B·S,T-1,N,D] — the reference forwards them through
+        ``sampler_kwargs`` (`eval_prepare_model.py:92-101`); used by the
+        capstone cross-implementation parity test."""
         B = obs.shape[0]
         z_past = self.autoencoder.apply(ae_params, obs, method=AutoEncoder.get_past_embedding)
         if self.diffusion_conditioning:
@@ -150,7 +156,8 @@ class SkeletonDiffusionPredictor:
         else:
             x_cond = None
         latents, _ = self.diffusion.sample(
-            diff_params, rng, batch_size=B * num_samples, x_cond=x_cond
+            diff_params, rng, batch_size=B * num_samples, x_cond=x_cond,
+            start_noise=start_noise, step_noise=step_noise,
         )
         obs_t = jnp.repeat(obs, num_samples, axis=0)
         z_past_t = jnp.repeat(z_past, num_samples, axis=0)
@@ -173,11 +180,13 @@ class SkeletonDiffusionPredictor:
         return pred, latents
 
     def __call__(self, rng, obs: Array, num_samples: Optional[int] = None,
-                 pred_length: Optional[int] = None):
+                 pred_length: Optional[int] = None,
+                 start_noise: Optional[Array] = None, step_noise: Optional[Array] = None):
         return self._jit_predict(
             self.ae_params, self.diff_params, rng, obs,
             num_samples=num_samples or self.num_samples,
             pred_length=pred_length or self.pred_length,
+            start_noise=start_noise, step_noise=step_noise,
         )
 
 

@@ -2,6 +2,7 @@
 parallelism over a ``jax.sharding.Mesh`` (ICI single-host, DCN multi-host)."""
 from .mesh import (
     batch_sharding,
+    coordination_barrier,
     create_mesh,
     maybe_initialize_distributed,
     replicate,
@@ -12,7 +13,7 @@ from .mesh import (
 )
 
 __all__ = [
-    "batch_sharding", "create_mesh", "maybe_initialize_distributed",
-    "replicate", "replicated", "shard_batch", "shard_batch_global",
-    "shard_params_model_axis",
+    "batch_sharding", "coordination_barrier", "create_mesh",
+    "maybe_initialize_distributed", "replicate", "replicated", "shard_batch",
+    "shard_batch_global", "shard_params_model_axis",
 ]

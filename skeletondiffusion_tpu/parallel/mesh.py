@@ -32,6 +32,28 @@ def maybe_initialize_distributed():
         jax.distributed.initialize()
 
 
+def coordination_barrier(name: str = "barrier", timeout_s: float = 600.0) -> None:
+    """Rendezvous ALL processes through the jax coordination service — a KV
+    barrier, NOT a device collective.  No-op single-process.
+
+    Why it exists: the in-collective wait of the runtime's cross-host
+    transports is bounded (XLA:CPU's Gloo rendezvous times out after ~30 s;
+    TPU barrier timeouts are similarly finite), while first-compile skew
+    between processes can be minutes.  A process that reaches the first
+    collective of a freshly traced program while a peer is still compiling
+    dies inside the collective.  The fix is the standard multihost pattern:
+    AOT-compile the program (``jit(f).lower(...).compile()``), rendezvous
+    here (coordination-service timeouts are generous and configurable), then
+    execute — the collective only ever sees execution skew.
+    """
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None or jax.process_count() == 1:
+        return
+    client.wait_at_barrier(f"skeldiff/{name}", timeout_in_ms=int(timeout_s * 1000))
+
+
 def create_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,

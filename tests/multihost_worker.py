@@ -37,7 +37,11 @@ def main(process_id: int, port: int) -> None:
 
     from skeletondiffusion_tpu.diffusion.manager import create_diffusion
     from skeletondiffusion_tpu.models import AutoEncoder
-    from skeletondiffusion_tpu.parallel import create_mesh, shard_batch_global
+    from skeletondiffusion_tpu.parallel import (
+        coordination_barrier,
+        create_mesh,
+        shard_batch_global,
+    )
     from skeletondiffusion_tpu.skeleton import create_skeleton
     from skeletondiffusion_tpu.train.trainer_diffusion import TrainerDiffusion
 
@@ -82,9 +86,18 @@ def main(process_id: int, port: int) -> None:
     with mesh:
         xb, yb = shard_batch_global(mesh, x_local), shard_batch_global(mesh, y_local)
         assert xb.shape[0] == 8, xb.shape  # global batch spans both processes
-        state, loss = trainer.train_step(state, jax.random.key(9), (xb, yb))
+        # AOT-compile → coordination barrier → execute: Gloo's in-collective
+        # rendezvous times out after ~30 s, while first-compile skew between
+        # two processes on a contended host can be minutes.  Compiling first
+        # and rendezvousing through the coordination service (generous,
+        # configurable timeout) leaves the collective only execution skew.
+        key, lr = jax.random.key(9), jnp.asarray(1e-3, jnp.float32)
+        compiled = trainer._jit_step.lower(state, key, xb, yb, lr).compile()
+        coordination_barrier("train_step_compiled", timeout_s=480)
+        state, loss, _gnorm = compiled(state, key, xb, yb, lr)
         loss = float(loss)
     assert np.isfinite(loss), loss
+    coordination_barrier("done", timeout_s=120)
     print(f"multihost process {process_id}: global_devices=8 loss={loss:.5f} OK",
           flush=True)
     jax.distributed.shutdown()

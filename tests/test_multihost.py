@@ -41,12 +41,6 @@ def test_two_process_distributed_train_step():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0 and "UNAVAILABLE" in out:
             pytest.skip(f"jax.distributed unavailable in this environment:\n{out[-500:]}")
-        if p.returncode != 0 and "DEADLINE_EXCEEDED" in out:
-            # Gloo's cross-process KV exchange has a fixed ~30 s timeout; on a
-            # contended single-core host one process can still be compiling
-            # when the other reaches the first collective.  Environment flake,
-            # not a code defect — the run passes on an idle host.
-            pytest.skip("Gloo KV timeout (compile skew on contended host)")
         assert p.returncode == 0, f"process {pid} rc={p.returncode}:\n{out[-3000:]}"
         assert f"multihost process {pid}: global_devices=8" in out, out[-2000:]
     # both processes computed the SAME global loss (grads psum'd over DCN)
