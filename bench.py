@@ -108,6 +108,17 @@ def main():
 
     p50 = float(np.percentile(times, 50))
     preds_per_sec = BATCH / p50
+
+    # MFU accounting: analytical useful FLOPs of the model as defined
+    # (utils/flops.py, cross-checked vs XLA HLO cost analysis in
+    # tests/test_flops.py) over the v5e bf16 MXU peak.
+    from skeletondiffusion_tpu.utils.flops import V5E_BF16_PEAK_FLOPS, prediction_flops
+
+    fl = prediction_flops(
+        n=N, obs_len=OBS_LEN, pred_len=PRED_LEN,
+        num_samples=NUM_SAMPLES, timesteps=10, latent=LATENT,
+    )
+    achieved = fl["total"] * preds_per_sec
     print(
         json.dumps(
             {
@@ -115,6 +126,9 @@ def main():
                 "value": round(preds_per_sec, 2),
                 "unit": "predictions/s (batch 256 obs x 50 samples, p50)",
                 "vs_baseline": round(preds_per_sec / REFERENCE_PREDS_PER_SEC, 2),
+                "useful_gflops_per_pred": round(fl["total"] / 1e9, 3),
+                "achieved_gflops_per_s": round(achieved / 1e9, 1),
+                "mfu": round(achieved / V5E_BF16_PEAK_FLOPS, 5),
             }
         )
     )

@@ -70,13 +70,30 @@ def main():
         return min(per)
 
     t = [timeit(prefix(d)) for d in (1, 2, 3, 4)]
-    print(json.dumps({
-        "embed_s": round(t[0], 4),
-        "sample_s": round(t[1] - t[0], 4),
-        "decode_s": round(t[2] - t[1], 4),
-        "metric_s": round(t[3] - t[2], 4),
-        "total_s": round(t[3], 4),
-    }, indent=2))
+    phase_s = {
+        "embed": t[0],
+        "sample": t[1] - t[0],
+        "decode": t[2] - t[1],
+        "metric": t[3] - t[2],
+    }
+
+    # Per-phase MFU: analytical useful FLOPs (utils/flops.py) over measured
+    # phase wall time, against the v5e bf16 MXU peak.
+    from skeletondiffusion_tpu.utils.flops import V5E_BF16_PEAK_FLOPS, prediction_flops
+
+    fl = prediction_flops(
+        n=N, obs_len=bench.OBS_LEN, pred_len=bench.PRED_LEN,
+        num_samples=S, timesteps=10, latent=bench.LATENT,
+    )
+    out = {}
+    for k, secs in phase_s.items():
+        out[f"{k}_s"] = round(secs, 4)
+        out[f"{k}_gflops"] = round(B * fl[k] / 1e9, 2)
+        out[f"{k}_mfu"] = round(B * fl[k] / max(secs, 1e-9) / V5E_BF16_PEAK_FLOPS, 5)
+    out["total_s"] = round(t[3], 4)
+    out["total_gflops"] = round(B * fl["total"] / 1e9, 2)
+    out["total_mfu"] = round(B * fl["total"] / t[3] / V5E_BF16_PEAK_FLOPS, 5)
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":

@@ -89,6 +89,8 @@ def main():
     ap.add_argument("--segments", type=int, default=1008)
     ap.add_argument("--batch", type=int, default=252)
     ap.add_argument("--samples", type=int, default=50)
+    ap.add_argument("--ab", action="store_true",
+                    help="also run with SKELDIFF_EVAL_PIPELINE=0 (sync drain)")
     args = ap.parse_args()
 
     from skeletondiffusion_tpu.diffusion.manager import create_diffusion
@@ -133,29 +135,46 @@ def main():
         num_samples=args.samples, pred_length=PRED,
     )
 
+    import time
+
     with tempfile.TemporaryDirectory() as root:
         dataset = build_dataset(root, args.segments, skeleton)
-        timer = AverageTimer()
-        results = compute_metrics(
-            predictor, dataset, skeleton, batch_size=args.batch,
-            num_samples=args.samples, stats_mode="probabilistic",
-            if_compute_cmd=True, if_compute_apde=True,
-            mmapd_gt_path=os.path.join(root, "mmapd_GT.csv"),
-            timer=timer, silent=True,
-        )
-    t = timer.summary()
-    n_batches = t.get("n", 0)
-    p50_s = t.get("p50_ms", float("nan")) / 1e3
-    preds_per_sec = args.batch / p50_s if p50_s else float("nan")
-    print(json.dumps({
-        "segments": args.segments, "batch": args.batch,
-        "samples": args.samples, "n_batches": n_batches,
-        "batch_p50_s": round(p50_s, 3),
-        "preds_per_sec_with_metrics": round(preds_per_sec, 1),
-        "projected_amass_split_s": round(12726 / preds_per_sec, 1),
-        "ADE": round(float(results.get("ADE", float("nan"))), 4),
-        "APD": round(float(results.get("APD", float("nan"))), 4),
-    }, indent=2))
+
+        def run_once(tag):
+            timer = AverageTimer()
+            t0 = time.perf_counter()
+            results = compute_metrics(
+                predictor, dataset, skeleton, batch_size=args.batch,
+                num_samples=args.samples, stats_mode="probabilistic",
+                if_compute_cmd=True, if_compute_apde=True,
+                mmapd_gt_path=os.path.join(root, "mmapd_GT.csv"),
+                timer=timer, silent=True,
+            )
+            wall = time.perf_counter() - t0
+            return results, timer.summary(), wall
+
+        # warmup pass compiles every program (persistent-cached); the modes
+        # below then measure steady-state loop behavior only
+        run_once("warmup")
+        report = {"segments": args.segments, "batch": args.batch,
+                  "samples": args.samples}
+        modes = (("pipelined", "1"), ("sync", "0")) if args.ab else (("pipelined", "1"),)
+        for tag, flag in modes:
+            os.environ["SKELDIFF_EVAL_PIPELINE"] = flag
+            results, t, wall = run_once(tag)
+            p50_s = t.get("p50_ms", float("nan")) / 1e3
+            n_batches = t.get("n", 0)
+            pps = args.segments / wall
+            report[tag] = {
+                "n_batches": n_batches,
+                "batch_p50_s": round(p50_s, 3),
+                "total_wall_s": round(wall, 3),
+                "preds_per_sec_with_metrics": round(pps, 1),
+                "projected_amass_split_s": round(12726 / pps, 1),
+                "ADE": round(float(results.get("ADE", float("nan"))), 4),
+                "APD": round(float(results.get("APD", float("nan"))), 4),
+            }
+        print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":

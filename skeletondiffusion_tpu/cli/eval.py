@@ -106,6 +106,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
         # checkpoint-true: stored experiment config resolved BEFORE any
         # skeleton/dataset/model construction (reference `eval.py:161-166`)
         cfg = merge_experiment_cfg(cfg)
+        if cfg.get("compute_dtype") not in (None, "float32"):
+            print(
+                f"note: network compute_dtype={cfg['compute_dtype']} "
+                "(measured metric deltas vs fp32: docs/bf16_eval_quality.json); "
+                "for strict fp32 parity pass compute_dtype=null"
+            )
 
     skeleton = build_skeleton(cfg)
     mesh = setup_mesh(cfg)
