@@ -99,10 +99,26 @@ def preprocess_batch(
     return obs_t, pred_t, mm_gt
 
 
-def collate(batch_items: List[Tuple], max_mmgt: int = 0) -> Dict[str, np.ndarray]:
+# unique-row granularity of the deduped mm-GT tensor: padding U to a bucket
+# multiple keeps the number of distinct XLA program shapes per split small
+MM_DEDUP_BUCKET = 128
+
+
+def collate(batch_items: List[Tuple], max_mmgt: int = 0,
+            dedup_mm: bool = False) -> Dict[str, np.ndarray]:
     """Stack raw segments; pad the ragged mm-GT neighbor axis to a fixed
     ``max_mmgt`` (static shapes for jit — replaces the reference's Python
-    list collate, `motion_dataset.py:21-29`)."""
+    list collate, `motion_dataset.py:21-29`).
+
+    ``dedup_mm``: emit the mm-GT neighbors DEDUPED across the batch —
+    ``mm_gt`` becomes the [U,Tp,J,F] unique futures (U padded to a
+    MM_DEDUP_BUCKET multiple) plus an ``mm_idx`` [B,max_mmgt] gather table
+    into it.  Neighbor sets of nearby segments overlap heavily on real data,
+    so this cuts both the host collate and the host→device bytes by the
+    duplication factor; the consumer gathers back to the dense
+    [B,M,Tp,J,F] form on device (one HBM-local op) before the metric math.
+    Requires items to carry ``mm_gt_idces`` (neighbor segment ids,
+    row-aligned with ``mm_gt``)."""
     obs = np.stack([b[0] for b in batch_items])
     pred = np.stack([b[1] for b in batch_items])
     out: Dict[str, np.ndarray] = {"obs": obs, "pred": pred}
@@ -110,13 +126,35 @@ def collate(batch_items: List[Tuple], max_mmgt: int = 0) -> Dict[str, np.ndarray
     if "mm_gt" in extras[0]:
         B = len(batch_items)
         Tp, J, F = pred.shape[1:]
-        mm = np.zeros((B, max_mmgt, Tp, J, F), dtype=pred.dtype)
         mask = np.zeros((B, max_mmgt), dtype=bool)
-        for i, e in enumerate(extras):
-            m = min(len(e["mm_gt"]), max_mmgt)
-            mm[i, :m] = e["mm_gt"][:m]
-            mask[i, :m] = True
-        out["mm_gt"] = mm
+        if dedup_mm and "mm_gt_idces" in extras[0]:
+            # map: neighbor segment id → (first item holding it, row in that
+            # item's mm_gt).  Ordered by first appearance for determinism.
+            uniq: Dict[int, Tuple[int, int]] = {}
+            for i, e in enumerate(extras):
+                for j, seg in enumerate(e["mm_gt_idces"][:max_mmgt]):
+                    uniq.setdefault(int(seg), (i, j))
+            pos = {seg: p for p, seg in enumerate(uniq)}
+            idx = np.zeros((B, max_mmgt), dtype=np.int32)
+            for i, e in enumerate(extras):
+                rows = e["mm_gt_idces"][:max_mmgt]
+                for j, seg in enumerate(rows):
+                    idx[i, j] = pos[int(seg)]
+                mask[i, : len(rows)] = True
+            u = len(uniq)
+            u_pad = max(MM_DEDUP_BUCKET, -(-u // MM_DEDUP_BUCKET) * MM_DEDUP_BUCKET)
+            mm = np.zeros((u_pad, Tp, J, F), dtype=pred.dtype)
+            for seg, (i, j) in uniq.items():
+                mm[pos[seg]] = extras[i]["mm_gt"][j]
+            out["mm_gt"] = mm
+            out["mm_idx"] = idx
+        else:
+            mm = np.zeros((B, max_mmgt, Tp, J, F), dtype=pred.dtype)
+            for i, e in enumerate(extras):
+                m = min(len(e["mm_gt"]), max_mmgt)
+                mm[i, :m] = e["mm_gt"][:m]
+                mask[i, :m] = True
+            out["mm_gt"] = mm
         out["mm_mask"] = mask
     out["segment_idx"] = np.asarray([e["segment_idx"] for e in extras])
     out["metadata"] = [e["metadata"] for e in extras]
@@ -221,12 +259,14 @@ class DataLoader:
         drop_last: bool = False,
         pad_last: bool = False,
         seed: int = 0,
+        dedup_mm: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.pad_last = pad_last
+        self.dedup_mm = dedup_mm
         self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
@@ -268,7 +308,7 @@ class DataLoader:
                     pad = pad_rng.choice(order, self.batch_size - real_count)
                     idx = np.concatenate([idx, pad])
             items = [self.dataset[int(i)] for i in idx]
-            batch = collate(items, max_mmgt=max_m)
+            batch = collate(items, max_mmgt=max_m, dedup_mm=self.dedup_mm)
             # number of REAL (non-pad) items: consumers mask accumulator
             # updates on the padded final batch with this
             batch["_count"] = np.asarray(real_count)

@@ -363,6 +363,9 @@ class MotionDataset(BaseDataset):
             if self.normalize_data:
                 mm_gt = self.normalize(mm_gt)  # reference `motion_dataset.py:122-123`
             extra["mm_gt"] = mm_gt
+            # neighbor SEGMENT ids, row-aligned with mm_gt — lets the collate
+            # dedup shared neighbors across the batch (see collate(dedup_mm=))
+            extra["mm_gt_idces"] = self.mm_indces[extra["segment_idx"]]
         return obs, pred, extra
 
     def iter_thourgh_seqs(self):

@@ -372,17 +372,22 @@ def compute_metrics(
             fp = clf.apply(fid_classifier_params, p, h0p, method=ClassifierForFID.get_fid_features)
             fg = clf.apply(fid_classifier_params, g, h0g, method=ClassifierForFID.get_fid_features)
             return fp, fg
+    # dedup_mm: the loader ships UNIQUE mm-GT futures + a gather table (see
+    # collate) — the dense [B,M,T,J,3] form only ever exists on device
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=False, drop_last=False,
-                        pad_last=True)
+                        pad_last=True, dedup_mm=True)
     rng = jax.random.key(seed)
     ph = pred_length or dataset.pred_length
 
-    transform = jax.jit(
-        lambda key, obs, pred, mm: preprocess_batch(
+    def _transform(key, obs, pred, mm, mm_idx):
+        if mm is not None and mm_idx is not None:
+            mm = mm[mm_idx]  # unique rows → dense [B,M,T,J,3], HBM-local
+        return preprocess_batch(
             skeleton, key, obs, pred, mm, train=False,
             if_noisy_obs=if_noisy_obs, noise_level=noise_level, noise_std=noise_std,
         )
-    )
+
+    transform = jax.jit(_transform)
     # metric-space transforms fused into one program (eager dispatch costs
     # several per-op RPC round-trips on the ~400 MB prediction tensor)
     process_pair = jax.jit(
@@ -433,17 +438,23 @@ def compute_metrics(
         rng, k, k_pre = jax.random.split(rng, 3)
         count = int(batch.get("_count", batch["obs"].shape[0]))
         if mesh is not None and batch["obs"].shape[0] % mesh.shape["data"] == 0:
+            from .parallel import replicate as _replicate
             from .parallel import shard_batch
 
+            # mm_gt (unique rows) is not batch-aligned: replicate it and
+            # shard the per-item gather table instead
             batch_dev = {
                 key: shard_batch(mesh, batch[key])
-                for key in ("obs", "pred", "mm_gt", "mm_mask")
+                for key in ("obs", "pred", "mm_idx", "mm_mask")
                 if batch.get(key) is not None
             }
+            if batch.get("mm_gt") is not None:
+                batch_dev["mm_gt"] = _replicate(mesh, batch["mm_gt"])
         else:
             batch_dev = batch
         obs, target, mm_gt = transform(
-            k_pre, batch_dev["obs"], batch_dev["pred"], batch_dev.get("mm_gt")
+            k_pre, batch_dev["obs"], batch_dev["pred"], batch_dev.get("mm_gt"),
+            batch_dev.get("mm_idx"),
         )
 
         if if_long_term_test:

@@ -120,6 +120,21 @@ def test_mmgt_roundtrip(fixture_dir, skeleton):
     assert batch["mm_gt"].shape[:2] == (3, ds2.max_mmgt_count)
     assert batch["mm_mask"][:, 0].all()
 
+    # deduped collate (what the eval loop ships over the wire): gathering
+    # the unique rows through mm_idx reproduces the dense collate exactly
+    from skeletondiffusion_tpu.data.batch import MM_DEDUP_BUCKET
+
+    dl_d = DataLoader(ds2, batch_size=3, shuffle=False, dedup_mm=True)
+    batch_d = next(iter(dl_d))
+    assert batch_d["mm_gt"].shape[0] % MM_DEDUP_BUCKET == 0
+    assert batch_d["mm_idx"].shape == batch["mm_mask"].shape
+    gathered = batch_d["mm_gt"][batch_d["mm_idx"]]
+    np.testing.assert_array_equal(batch_d["mm_mask"], batch["mm_mask"])
+    np.testing.assert_array_equal(
+        gathered * batch["mm_mask"][:, :, None, None, None],
+        batch["mm_gt"] * batch["mm_mask"][:, :, None, None, None],
+    )
+
 
 def test_chunked_mmgt_matches_direct(rng):
     frames = rng.standard_normal((50, 5, 3))

@@ -115,6 +115,28 @@ def test_eval_probabilistic_runs(env):
     assert results["ADE"] > 0 and results["APD"] >= 0
 
 
+def test_pipelined_and_sync_drain_identical(env, monkeypatch):
+    """The one-deep host-sync pipeline (SKELDIFF_EVAL_PIPELINE) is a pure
+    scheduling change: both drain orders must produce the identical metric
+    table (same per-batch RNG keys, same accumulator contents)."""
+    root, skeleton, dataset = env
+    ae, ae_params, diffusion, dparams = _models(skeleton)
+    predictor = SkeletonDiffusionPredictor(
+        skeleton, ae, ae_params, diffusion, dparams, num_samples=4, pred_length=PRED,
+    )
+    out = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("SKELDIFF_EVAL_PIPELINE", flag)
+        out[flag] = compute_metrics(
+            predictor, dataset, skeleton, batch_size=8, num_samples=4,
+            stats_mode="probabilistic", if_compute_cmd=True, if_compute_apde=True,
+            mmapd_gt_path=os.path.join(root, "mmapd_GT.csv"),
+        )
+    assert out["1"].keys() == out["0"].keys()
+    for k in out["1"]:
+        np.testing.assert_array_equal(out["1"][k], out["0"][k], err_msg=k)
+
+
 def test_fid_in_eval_loop(env):
     import jax.numpy as jnp
 
