@@ -211,7 +211,8 @@ def main():
             (abs(v["abs_delta"]) for v in train_deltas.values()), default=0.0),
     }
     print(json.dumps(report, indent=2))
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    out_dir = os.path.dirname(os.path.abspath(args.out))
+    os.makedirs(out_dir, exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print("wrote", args.out)

@@ -210,6 +210,16 @@ class FreeManDataset(MotionDataset):
             assert isinstance(actions, list)
             file2action = {k: v for k, v in file2action.items() if v in actions}
             data_f = {k: v for k, v in data_f.items() if k in file2action}
+        else:
+            # every loaded sequence must have an action label (the reference
+            # indexes seq2action unconditionally, `freeman.py:83-85`); fail
+            # with the offending names instead of a bare KeyError below
+            unlabeled = [k for k in data_f if k not in file2action]
+            if unlabeled:
+                raise ValueError(
+                    f"{len(unlabeled)} FreeMan sequence(s) in the split have no "
+                    f"row in seq_actions_labels.txt: {unlabeled[:5]}..."
+                )
         self.seq2action = file2action
         self.idx_to_class = list(dict.fromkeys(file2action.values()))
         self.class_to_idx = {v: k for k, v in enumerate(self.idx_to_class)}

@@ -257,9 +257,13 @@ class GaussianDiffusion:
                 x_start = jnp.clip(x_start, -1.0, 1.0)
             mean, _, log_var = self.process.q_posterior(x_start, img, t)
             if step_noise is not None:
-                # jnp.take clamps the out-of-range index at t=0; the noise is
-                # zeroed there by the where() below, matching the reference
-                noise = jnp.take(step_noise, self.num_timesteps - 1 - t, axis=1)
+                # the index is out of range at t=0 (step_noise has T-1 rows);
+                # mode="clip" keeps the gather well-defined (jit's default is
+                # FILL → NaN, which would trip jax_debug_nans even though the
+                # where() below zeroes the t=0 row, matching the reference)
+                noise = jnp.take(
+                    step_noise, self.num_timesteps - 1 - t, axis=1, mode="clip"
+                )
             else:
                 noise = jax.random.normal(jax.random.fold_in(rng_steps, t), shape, dtype=img.dtype)
             noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))

@@ -486,7 +486,14 @@ def compute_metrics(
         if fid_acc is not None:
             this["fid"] = fid_feats(jax.random.fold_in(k, 2**20), pred_m, target_m)
         if store is not None:
-            this["store"] = (pred_m, obs_m, target_m)
+            # D2H immediately rather than holding the device buffers across
+            # the pipelined iteration: keeping them in `pending` would pin two
+            # generations of the largest arrays (pred_m is ~400 MB at batch
+            # 256×50) in HBM at once.  Storing is a host-disk path anyway, so
+            # losing the one-batch overlap here is the right trade.
+            for x in (pred_m, obs_m, target_m):
+                x.copy_to_host_async()
+            this["store"] = tuple(np.asarray(x) for x in (pred_m, obs_m, target_m))
         if pipelined:
             drain(pending)
             pending = this

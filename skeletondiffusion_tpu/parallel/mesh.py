@@ -46,10 +46,22 @@ def coordination_barrier(name: str = "barrier", timeout_s: float = 600.0) -> Non
     here (coordination-service timeouts are generous and configurable), then
     execute — the collective only ever sees execution skew.
     """
-    from jax._src import distributed
+    if jax.process_count() == 1:
+        return
+    try:  # private namespace — guarded so JAX-internal reorganization degrades
+        from jax._src import distributed
 
-    client = distributed.global_state.client
-    if client is None or jax.process_count() == 1:
+        client = distributed.global_state.client
+    except (ImportError, AttributeError):
+        client = None
+    if client is None:
+        # No coordination client reachable: fall back to a device collective
+        # barrier (all processes must already be past compile to get here, so
+        # this only serves the explicit-rendezvous use; skew > transport
+        # timeout can still fail, which is the pre-existing behavior).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"skeldiff/{name}")
         return
     client.wait_at_barrier(f"skeldiff/{name}", timeout_in_ms=int(timeout_s * 1000))
 

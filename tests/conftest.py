@@ -34,6 +34,10 @@ assert jax.default_backend() == "cpu"
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# repo root for tests that chdir to resolve the configs/ tree — derived from
+# this file's location so the suite runs from any checkout path
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture
 def rng():

@@ -7,6 +7,7 @@ import os
 
 import numpy as np
 import pytest
+from conftest import REPO_ROOT
 
 J = 22
 
@@ -78,7 +79,7 @@ def _loss_trace(exp_dir):
 def test_resume_reproduces_uninterrupted_run(data_root, monkeypatch):
     from skeletondiffusion_tpu.cli.train_autoencoder import main as train_ae_main
 
-    monkeypatch.chdir("/root/repo")
+    monkeypatch.chdir(REPO_ROOT)
     straight = os.path.join(data_root, "straight")
     train_ae_main(_ae_args(data_root, straight, epochs=4))
 
@@ -137,7 +138,7 @@ def test_diffusion_resume_reproduces_uninterrupted_run(data_root, monkeypatch):
     from skeletondiffusion_tpu.cli.train_autoencoder import main as train_ae_main
     from skeletondiffusion_tpu.cli.train_diffusion import main as train_diff_main
 
-    monkeypatch.chdir("/root/repo")
+    monkeypatch.chdir(REPO_ROOT)
     ae_dir = os.path.join(data_root, "ae_for_diff")
     train_ae_main(_ae_args(data_root, ae_dir, epochs=1))
 

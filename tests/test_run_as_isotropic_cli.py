@@ -23,6 +23,7 @@ import os
 
 import numpy as np
 import pytest
+from conftest import REPO_ROOT
 
 J = 22
 
@@ -42,7 +43,7 @@ def env(tmp_path_factory):
     from skeletondiffusion_tpu.cli.train_autoencoder import main as train_ae_main
 
     cwd = os.getcwd()
-    os.chdir("/root/repo")
+    os.chdir(REPO_ROOT)
     try:
         ae_dir = train_ae_main([
             f"dataset_main_path={root}/datasets",
@@ -66,7 +67,7 @@ def _train_diffusion(root, ae_dir, model_cfg, out):
     from skeletondiffusion_tpu.cli.train_diffusion import main as train_diff_main
 
     cwd = os.getcwd()
-    os.chdir("/root/repo")
+    os.chdir(REPO_ROOT)
     try:
         return train_diff_main([
             f"dataset_main_path={root}/datasets",
