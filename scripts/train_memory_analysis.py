@@ -34,7 +34,7 @@ import numpy as np
 OBS_LEN, PRED_LEN, LATENT = 30, 120, 96
 
 
-def build_stage2(batch, k, compute_dtype):
+def build_stage2(batch, k, compute_dtype, remat=False):
     from skeletondiffusion_tpu.diffusion.manager import create_diffusion
     from skeletondiffusion_tpu.models import AutoEncoder
     from skeletondiffusion_tpu.skeleton import create_skeleton
@@ -60,7 +60,7 @@ def build_stage2(batch, k, compute_dtype):
         diffusion_arch={"depth": 4, "attn_heads": 8, "attn_dim_head": 32,
                         "use_attention": True, "learn_influence": True,
                         "self_condition": False, "norm_type": "none"},
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, remat_denoiser=remat,
     )
     dparams = denoiser.init(
         jax.random.key(1), jnp.zeros((1, N, LATENT)), jnp.zeros((1,), jnp.int32),
@@ -114,11 +114,13 @@ def main():
     p.add_argument("--k", type=int, default=50)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--stage", type=int, default=2, choices=(1, 2))
+    p.add_argument("--remat", action="store_true",
+                   help="remat_denoiser=True (stage 2 only)")
     args = p.parse_args()
     cdt = None if args.dtype in ("float32", "fp32") else args.dtype
 
     if args.stage == 2:
-        fn, fargs = build_stage2(args.batch, args.k, cdt)
+        fn, fargs = build_stage2(args.batch, args.k, cdt, remat=args.remat)
     else:
         fn, fargs = build_stage1(args.batch, cdt)
 
@@ -131,6 +133,7 @@ def main():
         "backend": jax.default_backend(),
         "batch": args.batch,
         "k": args.k if args.stage == 2 else None,
+        "remat": bool(args.remat) if args.stage == 2 else None,
         "compute_dtype": args.dtype,
         "argument_gib": round(mem.argument_size_in_bytes / gib, 4),
         "output_gib": round(mem.output_size_in_bytes / gib, 4),

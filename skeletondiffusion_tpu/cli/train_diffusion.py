@@ -95,7 +95,7 @@ def train(cfg: Dict) -> str:
             "diffusion_objective", "beta_schedule", "beta_schedule_factor",
             "diffusion_covariance_type", "gamma_scheduler", "loss_reduction_type",
             "diffusion_loss_type", "diffusion_activation", "diffusion_arch",
-            "sampling_timesteps", "ddim_sampling_eta", "compute_dtype",
+            "sampling_timesteps", "ddim_sampling_eta", "compute_dtype", "remat_denoiser",
         )
     })
 

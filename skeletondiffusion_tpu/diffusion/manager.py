@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import numpy as np
 
 from ..models.denoiser import Denoiser
@@ -63,11 +64,19 @@ def create_diffusion(
     sampling_timesteps: Optional[int] = None,
     ddim_sampling_eta: float = 0.0,
     compute_dtype: Optional[str] = None,
+    remat_denoiser: bool = False,
     **kwargs,
 ) -> Tuple[GaussianDiffusion, Denoiser]:
     """Build (engine, denoiser module); reference
     `diffusion_manager.py:8-31`.  ``compute_dtype='bfloat16'`` runs the
-    denoiser's internals in reduced precision (params/outputs fp32)."""
+    denoiser's internals in reduced precision (params/outputs fp32).
+
+    ``remat_denoiser`` (TPU memory lever, no reference counterpart): wrap
+    the denoiser forward in ``jax.checkpoint`` so the backward pass
+    rematerializes its internals instead of keeping every layer activation
+    of the k-fan-out batch alive — gradients are bit-identical (remat is
+    exact), peak HBM drops for batch ≥128 stage-2 training at the cost of
+    one extra denoiser forward in the backward."""
     num_nodes = skeleton.num_nodes
     node_types = skeleton.nodes_type_id
     model = build_denoiser(
@@ -128,9 +137,10 @@ def create_diffusion(
         and not arch.get("self_condition", False)
         and getattr(model, "node_major", True)
     )
+    _maybe_remat = jax.checkpoint if remat_denoiser else (lambda f: f)
     engine = GaussianDiffusion(
         process,
-        lambda params, x, t, x_cond: model.apply(params, x, t, x_cond),
+        _maybe_remat(lambda params, x, t, x_cond: model.apply(params, x, t, x_cond)),
         channels=num_nodes,
         latent_size=latent_size,
         diffusion_activation=diffusion_activation,
@@ -142,7 +152,7 @@ def create_diffusion(
             if can_hoist_cond else None
         ),
         model_apply_ucond=(
-            (lambda params, x, t, u: model.apply(params, x, t, u_cond=u))
+            _maybe_remat(lambda params, x, t, u: model.apply(params, x, t, u_cond=u))
             if can_hoist_cond else None
         ),
     )
