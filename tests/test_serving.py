@@ -1,0 +1,85 @@
+"""Serving artifact (jax.export StableHLO + msgpack weights): exported
+program reproduces the live predictor exactly and reloads without any model
+construction code."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skeletondiffusion_tpu.diffusion.manager import create_diffusion
+from skeletondiffusion_tpu.eval_pipeline import SkeletonDiffusionPredictor
+from skeletondiffusion_tpu.models import AutoEncoder
+from skeletondiffusion_tpu.serving import ServingModel, export_predictor
+from skeletondiffusion_tpu.skeleton import create_skeleton
+
+OBS, PRED, LAT, B, S = 5, 8, 16, 3, 4
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    sk = create_skeleton(
+        dataset_name="amass", motion_repr_type="SkeletonRescalePose", num_joints=22,
+        pose_box_size=1.1, obs_length=OBS, pred_length=PRED, if_consider_hip=False,
+    )
+    N = sk.num_nodes
+    ae = AutoEncoder(num_nodes=N, encoder_hidden_size=16, decoder_hidden_size=16,
+                     latent_size=LAT, node_types=sk.nodes_type_id)
+    ae_params = ae.init(
+        jax.random.key(0), jnp.zeros((2, PRED, N, 3)), jnp.zeros((2, OBS, N, 3)),
+        ph=PRED, method=AutoEncoder.autoencode,
+    )
+    diffusion, den = create_diffusion(
+        sk, diffusion_type="NonisotropicGaussianDiffusion",
+        covariance_matrix_type="adjacency", latent_size=LAT,
+        diffusion_conditioning=True, diffusion_timesteps=4,
+        diffusion_arch={"depth": 1, "attn_heads": 2, "attn_dim_head": 8,
+                        "use_attention": True, "learn_influence": True,
+                        "self_condition": False, "norm_type": "none"},
+    )
+    dparams = den.init(
+        jax.random.key(1), jnp.zeros((2, N, LAT)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, N, LAT)),
+    )
+    predictor = SkeletonDiffusionPredictor(
+        sk, ae, ae_params, diffusion, dparams, num_samples=S, pred_length=PRED,
+    )
+    out = str(tmp_path_factory.mktemp("artifact"))
+    export_predictor(predictor, out, batch_size=B)
+    return sk, predictor, out
+
+
+def test_export_writes_complete_artifact(artifact):
+    _, _, out = artifact
+    names = set(os.listdir(out))
+    assert {"predict.stablehlo", "params.msgpack", "manifest.json"} <= names
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["batch_size"] == B and m["num_samples"] == S
+    assert m["pred_length"] == PRED and m["platforms"] == [jax.default_backend()]
+
+
+def test_loaded_artifact_matches_live_predictor(artifact):
+    sk, predictor, out = artifact
+    model = ServingModel(out)
+    assert model.batch_size == B and model.num_samples == S
+    obs = jax.random.normal(jax.random.key(7), (B, OBS, sk.num_nodes, 3)) * 0.3
+    rng = jax.random.key(11)
+
+    want, _ = predictor(rng, obs)
+    got = model(rng, obs)
+    assert got.shape == (B, S, PRED, sk.num_nodes, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # a different key gives different samples (rng is threaded, not baked in)
+    other = model(jax.random.key(12), obs)
+    assert np.abs(np.asarray(other) - np.asarray(got)).max() > 1e-4
+
+
+def test_wrong_shape_rejected(artifact):
+    sk, _, out = artifact
+    model = ServingModel(out)
+    with pytest.raises(AssertionError):
+        model(jax.random.key(0), np.zeros((B + 1, OBS, sk.num_nodes, 3), np.float32))
