@@ -10,6 +10,14 @@ one version-pinned StableHLO module: a serving host needs jax + the artifact,
 not the package's model zoo, and the compiled program is byte-stable across
 library refactors.
 
+Numerics: on the unfused fp32 path the exported program is bit-exact vs the
+live predictor (tests/test_serving.py).  On the TPU fused-bf16 flagship path
+the export wrapper traces a marginally different program, so XLA's fusion
+(and therefore bf16 rounding) can differ: measured ≤4.9e-4 max deviation in
+input space at the bench config (≈0.7 mm metric — same order as the
+documented bf16-vs-fp32 decode deviation, docs/bf16_eval_quality.json), and
+throughput matches the live bench rate (295 preds/s at batch 64 on one v5e).
+
 Artifact layout (a directory):
     predict.stablehlo   serialized jax.export module (all platforms listed
                         in the manifest; input = (ae/diff params leaves...,
