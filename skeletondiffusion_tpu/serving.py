@@ -50,6 +50,7 @@ def export_predictor(
     pred_length: Optional[int] = None,
     obs_shape: Optional[Tuple[int, ...]] = None,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
 ) -> str:
     """Export ``predictor`` (``SkeletonDiffusionPredictor``) at a fixed batch
     size to ``out_dir``; returns ``out_dir``.
@@ -58,6 +59,12 @@ def export_predictor(
     space) → pred [B,S,T',J,3] input space``.  ``platforms`` defaults to the
     current backend only — the Pallas fused paths embed TPU-specific custom
     calls that cannot be re-lowered for other platforms after tracing.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis — the
+    program is exported SPMD: batch sharded over 'data', weights replicated,
+    XLA's GSPMD partitioner baked into the artifact.  Serving then requires
+    the same device count (``ServingModel(path, mesh=...)``) and
+    ``batch_size`` must be divisible by the data-axis size.
     """
     S = num_samples or predictor.num_samples
     ph = pred_length or predictor.pred_length
@@ -85,7 +92,26 @@ def export_predictor(
     )
     from jax import export as jax_export
 
-    exported = jax_export.export(jax.jit(serve), platforms=list(platforms))(
+    mesh_info = None
+    if mesh is not None:
+        from .parallel import batch_sharding, replicated
+
+        assert batch_size % mesh.shape["data"] == 0, (batch_size, dict(mesh.shape))
+        rep, bsh = replicated(mesh), batch_sharding(mesh)
+        serve_fn = jax.jit(
+            serve,
+            in_shardings=(
+                jax.tree.map(lambda _: rep, params_sds[0]),
+                jax.tree.map(lambda _: rep, params_sds[1]),
+                rep, bsh,
+            ),
+            out_shardings=bsh,
+        )
+        mesh_info = {"axes": dict(mesh.shape), "num_devices": mesh.size}
+    else:
+        serve_fn = jax.jit(serve)
+
+    exported = jax_export.export(serve_fn, platforms=list(platforms))(
         params_sds[0], params_sds[1], key_data_sds, obs_sds
     )
 
@@ -112,6 +138,7 @@ def export_predictor(
         "key_data_shape": list(key_data_sds.shape),
         "fused_denoiser": bool(getattr(predictor, "use_fused_denoiser", False)),
         "fused_decode": bool(getattr(predictor, "use_fused_decode", False)),
+        "mesh": mesh_info,
     }
     with open(os.path.join(out_dir, MANIFEST_FILE), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -125,7 +152,7 @@ class ServingModel:
     configs, no checkpoint machinery.
     """
 
-    def __init__(self, artifact_dir: str):
+    def __init__(self, artifact_dir: str, mesh=None):
         from jax import export as jax_export
         import flax.serialization as fs
 
@@ -137,6 +164,19 @@ class ServingModel:
         with open(os.path.join(artifact_dir, PARAMS_FILE), "rb") as f:
             params = fs.msgpack_restore(f.read())
         self._ae_params, self._diff_params = params["ae"], params["diff"]
+        mesh_info = self.manifest.get("mesh")
+        self._shard_obs = None
+        if mesh_info is not None:
+            assert mesh is not None, (
+                f"artifact was exported SPMD over {mesh_info['axes']}; "
+                "pass a matching jax.sharding.Mesh"
+            )
+            assert dict(mesh.shape) == mesh_info["axes"], (dict(mesh.shape), mesh_info)
+            from .parallel import batch_sharding, replicate
+
+            self._ae_params = replicate(mesh, self._ae_params)
+            self._diff_params = replicate(mesh, self._diff_params)
+            self._shard_obs = lambda obs: jax.device_put(obs, batch_sharding(mesh))
         self._call = jax.jit(
             lambda key_data, obs: self._exported.call(
                 self._ae_params, self._diff_params, key_data, obs
@@ -155,4 +195,6 @@ class ServingModel:
         obs = jnp.asarray(obs, jnp.float32)
         want = tuple(self.manifest["obs_shape"])
         assert obs.shape == want, f"obs shape {obs.shape} != exported {want}"
+        if self._shard_obs is not None:
+            obs = self._shard_obs(obs)
         return self._call(jax.random.key_data(rng), obs)

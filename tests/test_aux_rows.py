@@ -148,6 +148,24 @@ def test_fde_meter_streaming_equals_direct():
     assert abs(meter.compute() - want) < 1e-12
 
 
+# ---------------------------------------------------------------- ranking
+def test_ranking_greedy_maxmin_order_hand_computed():
+    """Greedy max–min semantics (reference `src/metrics/ranking.py:17-63`):
+    seed = closest-to-GT, then repeatedly the sample maximizing its min
+    distance to the chosen set.  Samples on a line at 0.1, 10, 5, 9 with GT
+    at 0 → closest s0, then s1 (9.9 away), then s2 (min 4.9 beats s3's 1)."""
+    from skeletondiffusion_tpu.metrics.ranking import get_closest_and_nfurthest_maxapd
+    positions = [0.1, 10.0, 5.0, 9.0]
+    pred = np.zeros((4, 2, 3, 3))
+    for i, p in enumerate(positions):
+        pred[i, 0, 0, 0] = p
+    target = np.zeros((2, 3, 3))
+    closest, diverse, idx = get_closest_and_nfurthest_maxapd(pred, target, nsamples=3)
+    np.testing.assert_array_equal(closest, pred[0])
+    np.testing.assert_array_equal(idx, [1, 2, 3])
+    np.testing.assert_array_equal(diverse, pred[[1, 2, 3]])
+
+
 # ------------------------------------------------------------------ store
 def test_result_storer_roundtrip(tmp_path):
     from skeletondiffusion_tpu.utils.store import ResultStorer

@@ -78,6 +78,32 @@ def test_loaded_artifact_matches_live_predictor(artifact):
     assert np.abs(np.asarray(other) - np.asarray(got)).max() > 1e-4
 
 
+def test_spmd_export_matches_single_device(artifact):
+    """Data-parallel export: the GSPMD-partitioned artifact over a 4-way
+    'data' mesh returns the same predictions as the single-device one."""
+    from skeletondiffusion_tpu.parallel import create_mesh
+
+    sk, predictor, _ = artifact
+    mesh = create_mesh(n_devices=4)
+    out = export_predictor(
+        predictor, str(_tmp(artifact)), batch_size=4, mesh=mesh,
+    )
+    model = ServingModel(out, mesh=mesh)
+    obs = jax.random.normal(jax.random.key(8), (4, OBS, sk.num_nodes, 3)) * 0.3
+    rng = jax.random.key(13)
+    want, _ = predictor(rng, obs)
+    got = model(rng, obs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # loading an SPMD artifact without a mesh is rejected
+    with pytest.raises(AssertionError):
+        ServingModel(out)
+
+
+def _tmp(artifact):
+    import tempfile
+    return tempfile.mkdtemp(prefix="spmd_artifact_")
+
+
 def test_wrong_shape_rejected(artifact):
     sk, _, out = artifact
     model = ServingModel(out)
