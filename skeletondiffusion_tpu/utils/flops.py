@@ -120,5 +120,48 @@ def prediction_flops(n: int, obs_len: int = 30, pred_len: int = 120,
     }
 
 
+def train_step_flops_stage2(n: int, batch: int, k: int = 50, *,
+                            obs_len: int = 30, pred_len: int = 120,
+                            latent: int = 96, hidden: int = 96,
+                            depth: int = 4, heads: int = 8,
+                            dim_head: int = 32) -> Dict[str, float]:
+    """Useful FLOPs of ONE stage-2 (diffusion) train step
+    (`train/trainer_diffusion.py::_train_step`): frozen-AE embeddings
+    (forward only — stop_gradient), the k-fan-out denoiser forward+backward
+    (backward of a matmul is two matmuls → 3× forward), the forward-only
+    k-sample decode for the motion argmin (stop_gradient prunes its
+    backward), and the q_sample/Mahalanobis [N,N] mixes.  Optimizer/EMA
+    elementwise updates (~20 flops/param) are excluded (<0.1%)."""
+    embed = batch * (
+        encoder_flops(n, obs_len, hidden=hidden, latent=latent)
+        + encoder_flops(n, pred_len, hidden=hidden, latent=latent)
+    )
+    denoiser = 3.0 * batch * k * denoiser_forward_flops(
+        n, dim=latent, cond=latent, depth=depth, heads=heads, dim_head=dim_head
+    )
+    # q_sample correlated-noise mix, x̂₀ recombination, loss whitening: ~5
+    # dense [N,N]·[N,latent] products per (item,sample) incl. their backward
+    mixes = batch * k * 5.0 * (2.0 * n * n * latent)
+    decode = batch * k * decoder_flops(n, pred_len, hidden=hidden, latent=latent)
+    similarity = batch * k * 4.0 * pred_len * n * 3
+    total = embed + denoiser + mixes + decode + similarity
+    return {"embed": embed, "denoiser": denoiser, "mixes": mixes,
+            "decode": decode, "similarity": similarity, "total": total}
+
+
+def train_step_flops_stage1(n: int, batch: int, *, obs_len: int = 30,
+                            pred_len: int = 120, hidden: int = 96,
+                            latent: int = 96) -> Dict[str, float]:
+    """Useful FLOPs of ONE stage-1 (autoencoder) train step: full
+    autoencode (past embedding + future encode + rollout decode)
+    forward+backward (3× forward)."""
+    fwd = batch * (
+        encoder_flops(n, obs_len, hidden=hidden, latent=latent)
+        + encoder_flops(n, pred_len, hidden=hidden, latent=latent)
+        + decoder_flops(n, pred_len, hidden=hidden, latent=latent)
+    )
+    return {"forward": fwd, "total": 3.0 * fwd}
+
+
 def mfu(flops_per_s: float, peak: float = V5E_BF16_PEAK_FLOPS) -> float:
     return flops_per_s / peak

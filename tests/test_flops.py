@@ -79,6 +79,36 @@ def test_encoder_flops_match_xla(skeleton):
     assert 0.75 < got / want < 1.25, (got, want, got / want)
 
 
+def test_denoiser_backward_is_3x_forward(skeleton):
+    """The train model books fwd+bwd as 3× forward (backward of a matmul is
+    two matmuls); XLA's cost analysis on value_and_grad should agree."""
+    N, D, B = skeleton.num_nodes, 96, 64
+    den = Denoiser(
+        dim=D, out_dim=D, channels=N, cond_dim=D, depth=4, node_types=skeleton.nodes_type_id,
+        learn_influence=True, attn_dim_head=32, attn_heads=8,
+    )
+    x = jnp.zeros((B, N, D))
+    t = jnp.zeros((B,), jnp.int32)
+    c = jnp.zeros((B, N, D))
+    params = den.init(jax.random.key(0), x, t, c)
+    fwd = _xla_flops(jax.jit(lambda p: den.apply(p, x, t, c).sum()), params)
+    both = _xla_flops(jax.jit(jax.value_and_grad(lambda p: den.apply(p, x, t, c).sum())), params)
+    assert 2.4 < both / fwd < 3.6, (fwd, both, both / fwd)
+
+
+def test_train_step_flops_composition():
+    d2 = F.train_step_flops_stage2(21, 64, 50)
+    assert d2["total"] == pytest.approx(
+        d2["embed"] + d2["denoiser"] + d2["mixes"] + d2["decode"] + d2["similarity"]
+    )
+    # at k=50 the forward-only argmin decode (50×120 GRU steps per item)
+    # dominates the step's useful FLOPs, then the denoiser fwd+bwd
+    assert d2["decode"] > d2["denoiser"] > d2["embed"]
+    d1 = F.train_step_flops_stage1(21, 64)
+    assert d1["total"] == pytest.approx(3.0 * d1["forward"])
+    assert d2["total"] > d1["total"]
+
+
 def test_prediction_flops_composition(skeleton):
     N = skeleton.num_nodes
     d = F.prediction_flops(N)
