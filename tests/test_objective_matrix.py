@@ -70,6 +70,63 @@ def test_loss_grads_and_sampling_run(sk, diffusion_type, objective):
         assert s.shape == (3, N, L) and np.isfinite(np.asarray(s)).all()
 
 
+@pytest.mark.parametrize("cov_kwargs", [
+    # diffusion_covariance_type='isotropic' requires Λ_N == 0 (same assert
+    # upstream, `nonisotropic.py:44`) — reachable via if_run_as_isotropic
+    dict(covariance_matrix_type="adjacency", diffusion_covariance_type="isotropic",
+         if_run_as_isotropic=True),
+    dict(covariance_matrix_type="adjacency", diffusion_covariance_type="anisotropic"),
+    dict(covariance_matrix_type="adjacency", diffusion_covariance_type="skeleton-diffusion",
+         gamma_scheduler="mono_decrease"),
+    dict(covariance_matrix_type="reachability", diffusion_covariance_type="skeleton-diffusion"),
+    dict(covariance_matrix_type="adjacency", diffusion_covariance_type="skeleton-diffusion",
+         sigma_n_scale="frob"),
+], ids=["cov-iso", "cov-aniso", "gamma-mono", "reachability", "frob"])
+def test_nonisotropic_covariance_variants_run(sk, cov_kwargs):
+    """Every covariance-schedule variant the reference dispatches
+    (`nonisotropic.py` Λ_t construction, `diffusion_manager.py` correlation
+    source, `get_cov_from_corr` normalization) trains and samples."""
+    diffusion, den = create_diffusion(
+        sk, diffusion_type="NonisotropicGaussianDiffusion", latent_size=L,
+        diffusion_conditioning=True, diffusion_timesteps=4,
+        diffusion_arch=ARCH, **cov_kwargs,
+    )
+    N = sk.num_nodes
+    params = den.init(
+        jax.random.key(0), jnp.zeros((2, N, L)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, N, L)),
+    )
+    x = jax.random.normal(jax.random.key(1), (4, N, L)) * 0.5
+    x_cond = jax.random.normal(jax.random.key(2), (4, N, L)) * 0.5
+    loss, w, _ = diffusion.loss(params, jax.random.key(3), x, x_cond=x_cond)
+    assert np.isfinite(float(jnp.mean(loss * w)))
+    s, _ = diffusion.sample(params, jax.random.key(4), batch_size=2, x_cond=x_cond[:2])
+    assert s.shape == (2, N, L) and np.isfinite(np.asarray(s)).all()
+
+
+@pytest.mark.parametrize("beta", ["linear", "cosine", "exp"])
+def test_isotropic_beta_schedules_run(sk, beta):
+    # T=50: the linear schedule's reference-parity 1000/T scaling
+    # (`base.py:39-43`) yields β>1 (NaN training) for T≲20 — upstream has
+    # the identical behavior, so small-T linear is an invalid config there too
+    diffusion, den = create_diffusion(
+        sk, diffusion_type="IsotropicGaussianDiffusion", latent_size=L,
+        diffusion_conditioning=True, diffusion_timesteps=50,
+        beta_schedule=beta, diffusion_arch=ARCH,
+    )
+    N = sk.num_nodes
+    params = den.init(
+        jax.random.key(0), jnp.zeros((2, N, L)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, N, L)),
+    )
+    x = jax.random.normal(jax.random.key(1), (4, N, L)) * 0.5
+    x_cond = jax.random.normal(jax.random.key(2), (4, N, L)) * 0.5
+    loss, w, _ = diffusion.loss(params, jax.random.key(3), x, x_cond=x_cond)
+    assert np.isfinite(float(jnp.mean(loss * w)))
+    s, _ = diffusion.sample(params, jax.random.key(4), batch_size=2, x_cond=x_cond[:2])
+    assert np.isfinite(np.asarray(s)).all()
+
+
 def test_nonisotropic_pred_v_rejected_like_reference(sk):
     with pytest.raises(NotImplementedError):
         create_diffusion(
