@@ -40,8 +40,7 @@ def main():
     from skeletondiffusion_tpu.serving import ServingModel
 
     model = ServingModel(args.artifact)
-    B, T, J = (model.batch_size, model.manifest["obs_shape"][1],
-               model.manifest["obs_shape"][2])
+    B, (T, J, _) = model.batch_size, model.manifest["obs_tail_shape"]
     # toy input-space observation: in practice transform raw poses with the
     # skeleton's transform (see examples/inference_example.py)
     obs = np.random.default_rng(0).standard_normal((B, T, J, 3)).astype(np.float32) * 0.2

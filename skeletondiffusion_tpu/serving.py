@@ -6,9 +6,9 @@ TPU-native deployment story with no reference counterpart — the reference
 serves by reconstructing its Python classes around a torch checkpoint
 (`src/eval_prepare_model.py`).  Here the whole prediction program
 (past-embedding → S-sample diffusion scan → decode rollout) is captured as
-one version-pinned StableHLO module: a serving host needs jax + the artifact,
-not the package's model zoo, and the compiled program is byte-stable across
-library refactors.
+one version-pinned StableHLO module per batch bucket: a serving host needs
+jax + the artifact, not the package's model zoo, and the compiled program is
+byte-stable across library refactors.
 
 Numerics: on the unfused fp32 path the exported program is bit-exact vs the
 live predictor (tests/test_serving.py).  On the TPU fused-bf16 flagship path
@@ -19,43 +19,50 @@ documented bf16-vs-fp32 decode deviation, docs/bf16_eval_quality.json), and
 throughput matches the live bench rate (295 preds/s at batch 64 on one v5e).
 
 Artifact layout (a directory):
-    predict.stablehlo   serialized jax.export module (all platforms listed
-                        in the manifest; input = (ae/diff params leaves...,
-                        key_data, obs))
-    params.msgpack      weights pytree (flax msgpack, numpy leaves)
-    manifest.json       shapes, dtypes, static config, jax/export versions
+    predict_b{N}.stablehlo  serialized jax.export module per batch bucket
+                            (input = (ae params, diff params, key_data, obs))
+    params.msgpack          weights pytree (flax msgpack, numpy leaves)
+    manifest.json           shapes, buckets, static config, versions
+
+Variable request sizes: export several buckets (``batch_size=[64, 256]``);
+``ServingModel`` routes a request to the smallest bucket ≥ its batch, pads
+by repeating the last observation, and slices the pad rows off the result
+(static shapes — one compiled program per bucket, never per request).
 """
 from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-MLIR_FILE = "predict.stablehlo"
 PARAMS_FILE = "params.msgpack"
 MANIFEST_FILE = "manifest.json"
 _FORMAT_VERSION = 1
 
 
+def _mlir_file(batch: int) -> str:
+    return f"predict_b{batch}.stablehlo"
+
+
 def export_predictor(
     predictor,
     out_dir: str,
-    batch_size: int,
+    batch_size: Union[int, Sequence[int]],
     *,
     num_samples: Optional[int] = None,
     pred_length: Optional[int] = None,
-    obs_shape: Optional[Tuple[int, ...]] = None,
+    obs_tail_shape: Optional[Tuple[int, ...]] = None,
     platforms: Optional[Sequence[str]] = None,
     mesh=None,
 ) -> str:
-    """Export ``predictor`` (``SkeletonDiffusionPredictor``) at a fixed batch
-    size to ``out_dir``; returns ``out_dir``.
+    """Export ``predictor`` (``SkeletonDiffusionPredictor``) to ``out_dir``
+    at one or more batch buckets; returns ``out_dir``.
 
-    The exported function maps ``(key_data [2] uint32, obs [B,T,J,3] input
+    Each exported function maps ``(key_data [2] uint32, obs [B,T,J,3] input
     space) → pred [B,S,T',J,3] input space``.  ``platforms`` defaults to the
     current backend only — the Pallas fused paths embed TPU-specific custom
     calls that cannot be re-lowered for other platforms after tracing.
@@ -63,15 +70,18 @@ def export_predictor(
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis — the
     program is exported SPMD: batch sharded over 'data', weights replicated,
     XLA's GSPMD partitioner baked into the artifact.  Serving then requires
-    the same device count (``ServingModel(path, mesh=...)``) and
-    ``batch_size`` must be divisible by the data-axis size.
+    the same device count (``ServingModel(path, mesh=...)``) and every batch
+    bucket must be divisible by the data-axis size.
     """
+    sizes = sorted({int(b) for b in (
+        (batch_size,) if isinstance(batch_size, int) else tuple(batch_size)
+    )})
+    assert sizes and sizes[0] > 0, batch_size
     S = num_samples or predictor.num_samples
     ph = pred_length or predictor.pred_length
     sk = predictor.skeleton
-    if obs_shape is None:
-        obs_shape = (batch_size, sk.obs_length, sk.num_nodes, 3)
-    assert obs_shape[0] == batch_size, (obs_shape, batch_size)
+    if obs_tail_shape is None:
+        obs_tail_shape = (sk.obs_length, sk.num_nodes, 3)
     if platforms is None:
         platforms = [jax.default_backend()]
 
@@ -85,7 +95,6 @@ def export_predictor(
     key_data_sds = jax.ShapeDtypeStruct(
         jax.random.key_data(jax.random.key(0)).shape, jnp.uint32
     )
-    obs_sds = jax.ShapeDtypeStruct(obs_shape, jnp.float32)
     params_sds = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
         (predictor.ae_params, predictor.diff_params),
@@ -96,7 +105,8 @@ def export_predictor(
     if mesh is not None:
         from .parallel import batch_sharding, replicated
 
-        assert batch_size % mesh.shape["data"] == 0, (batch_size, dict(mesh.shape))
+        for b in sizes:
+            assert b % mesh.shape["data"] == 0, (b, dict(mesh.shape))
         rep, bsh = replicated(mesh), batch_sharding(mesh)
         serve_fn = jax.jit(
             serve,
@@ -111,13 +121,14 @@ def export_predictor(
     else:
         serve_fn = jax.jit(serve)
 
-    exported = jax_export.export(serve_fn, platforms=list(platforms))(
-        params_sds[0], params_sds[1], key_data_sds, obs_sds
-    )
-
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, MLIR_FILE), "wb") as f:
-        f.write(exported.serialize())
+    for b in sizes:
+        obs_sds = jax.ShapeDtypeStruct((b, *obs_tail_shape), jnp.float32)
+        exported = jax_export.export(serve_fn, platforms=list(platforms))(
+            params_sds[0], params_sds[1], key_data_sds, obs_sds
+        )
+        with open(os.path.join(out_dir, _mlir_file(b)), "wb") as f:
+            f.write(exported.serialize())
 
     import flax.serialization as fs
 
@@ -131,10 +142,10 @@ def export_predictor(
         "format_version": _FORMAT_VERSION,
         "jax_version": jax.__version__,
         "platforms": list(platforms),
-        "batch_size": batch_size,
+        "batch_sizes": sizes,
         "num_samples": S,
         "pred_length": ph,
-        "obs_shape": list(obs_shape),
+        "obs_tail_shape": list(obs_tail_shape),
         "key_data_shape": list(key_data_sds.shape),
         "fused_denoiser": bool(getattr(predictor, "use_fused_denoiser", False)),
         "fused_decode": bool(getattr(predictor, "use_fused_decode", False)),
@@ -149,7 +160,9 @@ class ServingModel:
     """A loaded serving artifact: ``model(rng_key, obs) → pred``.
 
     Needs only jax (+flax for the msgpack weights) — no model classes, no
-    configs, no checkpoint machinery.
+    configs, no checkpoint machinery.  Requests of any batch ≤ the largest
+    exported bucket are routed to the smallest bucket that fits (pad rows
+    repeat the last observation and are sliced off the result).
     """
 
     def __init__(self, artifact_dir: str, mesh=None):
@@ -159,8 +172,11 @@ class ServingModel:
         with open(os.path.join(artifact_dir, MANIFEST_FILE)) as f:
             self.manifest: Dict = json.load(f)
         assert self.manifest["format_version"] == _FORMAT_VERSION, self.manifest
-        with open(os.path.join(artifact_dir, MLIR_FILE), "rb") as f:
-            self._exported = jax_export.deserialize(f.read())
+        self.batch_sizes: List[int] = list(self.manifest["batch_sizes"])
+        self._exported = {}
+        for b in self.batch_sizes:
+            with open(os.path.join(artifact_dir, _mlir_file(b)), "rb") as f:
+                self._exported[b] = jax_export.deserialize(f.read())
         with open(os.path.join(artifact_dir, PARAMS_FILE), "rb") as f:
             params = fs.msgpack_restore(f.read())
         self._ae_params, self._diff_params = params["ae"], params["diff"]
@@ -177,15 +193,19 @@ class ServingModel:
             self._ae_params = replicate(mesh, self._ae_params)
             self._diff_params = replicate(mesh, self._diff_params)
             self._shard_obs = lambda obs: jax.device_put(obs, batch_sharding(mesh))
-        self._call = jax.jit(
-            lambda key_data, obs: self._exported.call(
-                self._ae_params, self._diff_params, key_data, obs
+        self._calls = {
+            b: jax.jit(
+                lambda key_data, obs, _e=e: _e.call(
+                    self._ae_params, self._diff_params, key_data, obs
+                )
             )
-        )
+            for b, e in self._exported.items()
+        }
 
     @property
     def batch_size(self) -> int:
-        return self.manifest["batch_size"]
+        """Largest exported bucket (back-compat accessor)."""
+        return self.batch_sizes[-1]
 
     @property
     def num_samples(self) -> int:
@@ -193,8 +213,17 @@ class ServingModel:
 
     def __call__(self, rng: jax.Array, obs) -> jax.Array:
         obs = jnp.asarray(obs, jnp.float32)
-        want = tuple(self.manifest["obs_shape"])
-        assert obs.shape == want, f"obs shape {obs.shape} != exported {want}"
+        tail = tuple(self.manifest["obs_tail_shape"])
+        assert obs.shape[1:] == tail, f"obs tail {obs.shape[1:]} != exported {tail}"
+        B = obs.shape[0]
+        fits = [b for b in self.batch_sizes if b >= B]
+        assert fits, f"batch {B} exceeds largest exported bucket {self.batch_size}"
+        bucket = fits[0]
+        if bucket != B:
+            obs = jnp.concatenate(
+                [obs, jnp.repeat(obs[-1:], bucket - B, axis=0)], axis=0
+            )
         if self._shard_obs is not None:
             obs = self._shard_obs(obs)
-        return self._call(jax.random.key_data(rng), obs)
+        pred = self._calls[bucket](jax.random.key_data(rng), obs)
+        return pred[:B] if bucket != B else pred

@@ -54,10 +54,10 @@ def artifact(tmp_path_factory):
 def test_export_writes_complete_artifact(artifact):
     _, _, out = artifact
     names = set(os.listdir(out))
-    assert {"predict.stablehlo", "params.msgpack", "manifest.json"} <= names
+    assert {f"predict_b{B}.stablehlo", "params.msgpack", "manifest.json"} <= names
     with open(os.path.join(out, "manifest.json")) as f:
         m = json.load(f)
-    assert m["batch_size"] == B and m["num_samples"] == S
+    assert m["batch_sizes"] == [B] and m["num_samples"] == S
     assert m["pred_length"] == PRED and m["platforms"] == [jax.default_backend()]
 
 
@@ -107,5 +107,30 @@ def _tmp(artifact):
 def test_wrong_shape_rejected(artifact):
     sk, _, out = artifact
     model = ServingModel(out)
-    with pytest.raises(AssertionError):
+    with pytest.raises(AssertionError):  # over the largest bucket
         model(jax.random.key(0), np.zeros((B + 1, OBS, sk.num_nodes, 3), np.float32))
+    with pytest.raises(AssertionError):  # wrong tail shape
+        model(jax.random.key(0), np.zeros((B, OBS + 1, sk.num_nodes, 3), np.float32))
+
+
+def test_batch_buckets_route_and_pad(artifact):
+    """Multi-bucket artifact: a batch-3 request routes to the size-4 bucket;
+    the result equals the live predictor on the identically padded batch,
+    sliced — and a full-bucket request takes its exact program."""
+    sk, predictor, _ = artifact
+    out = _tmp(artifact)
+    export_predictor(predictor, out, batch_size=[2, 4])
+    model = ServingModel(out)
+    assert model.batch_sizes == [2, 4] and model.batch_size == 4
+
+    obs3 = jax.random.normal(jax.random.key(20), (3, OBS, sk.num_nodes, 3)) * 0.3
+    got = model(jax.random.key(21), obs3)
+    assert got.shape == (3, S, PRED, sk.num_nodes, 3)
+    padded = jnp.concatenate([obs3, obs3[-1:]], axis=0)
+    want, _ = predictor(jax.random.key(21), padded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want)[:3], atol=1e-6)
+
+    obs2 = obs3[:2]
+    got2 = model(jax.random.key(22), obs2)
+    want2, _ = predictor(jax.random.key(22), obs2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-6)
