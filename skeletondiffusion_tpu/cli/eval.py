@@ -226,8 +226,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     try:
         with open(out_path, "w") as f:
             yaml.safe_dump({k: float(v) for k, v in results.items()}, f)
-    except OSError:
-        pass
+    except OSError as e:
+        # metrics already printed — losing the yaml must not fail the run,
+        # but say so (a silent pass here once hid a bad results_path)
+        print(f"warning: could not write results yaml to {out_path}: {e}")
     return results
 
 
