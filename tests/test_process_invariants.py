@@ -23,16 +23,24 @@ def iso():
     return build_isotropic_process(timesteps=T, objective="pred_x0", beta_schedule="cosine")
 
 
-@pytest.fixture(scope="module")
-def noniso():
+@pytest.fixture(scope="module",
+                params=["skeleton-diffusion", "anisotropic", "isotropic"])
+def noniso(request):
+    """Nonisotropic process under every Λ_t schedule the reference
+    dispatches (`nonisotropic.py:43-60`); the 'isotropic' type requires
+    Λ_N = 0 (run-as-isotropic)."""
     rng = np.random.default_rng(0)
     corr = rng.uniform(0, 1, (N, N))
     corr = (corr + corr.T) / 2
     np.fill_diagonal(corr, 0)
-    Sigma_N, Lambda_N, U = get_cov_from_corr(corr)
+    run_as_iso = request.param == "isotropic"
+    Sigma_N, Lambda_N, U = get_cov_from_corr(
+        corr, if_run_as_isotropic=run_as_iso,
+        diffusion_covariance_type=request.param,
+    )
     return build_nonisotropic_process(
         Sigma_N, Lambda_N, U, timesteps=T, objective="pred_x0",
-        beta_schedule="cosine", diffusion_covariance_type="skeleton-diffusion",
+        beta_schedule="cosine", diffusion_covariance_type=request.param,
     )
 
 
@@ -40,12 +48,10 @@ def _all_t():
     return jnp.arange(T)
 
 
-@pytest.mark.parametrize("proc_name", ["iso", "noniso"])
-def test_x0_and_noise_roundtrips_every_t(proc_name, request):
+def _roundtrip_checks(proc):
     """predict_start_from_noise inverts q_sample exactly, and
     predict_noise_from_start recovers the injected white noise — at EVERY
     timestep (the goldens only pin a handful of (x, t) points)."""
-    proc = request.getfixturevalue(proc_name)
     key = jax.random.key(1)
     x0 = jax.random.normal(key, (T, N, D))
     eps = jax.random.normal(jax.random.fold_in(key, 1), (T, N, D))
@@ -59,6 +65,14 @@ def test_x0_and_noise_roundtrips_every_t(proc_name, request):
         np.asarray(proc.predict_noise_from_start(x_t, t, x0)), np.asarray(eps),
         atol=5e-5,
     )
+
+
+def test_x0_and_noise_roundtrips_iso(iso):
+    _roundtrip_checks(iso)
+
+
+def test_x0_and_noise_roundtrips_noniso(noniso):
+    _roundtrip_checks(noniso)
 
 
 def test_v_parameterization_roundtrip(iso):
@@ -94,13 +108,11 @@ def test_posterior_noise_covariance_matches_tables(noniso):
     np.testing.assert_allclose(got, want, atol=6 * np.abs(want).max() / np.sqrt(M) * 10)
 
 
-@pytest.mark.parametrize("proc_name", ["iso", "noniso"])
-def test_posterior_telescopes_to_forward_marginal(proc_name, request):
+def _telescoping_check(proc):
     """Ancestral consistency: x_t ~ q(x_t|x0) then x_{t-1} ~ q(x_{t-1}|x_t,x0)
     must have the SAME distribution as x_{t-1} ~ q(x_{t-1}|x0).  Validates
     every posterior coefficient table against the forward tables at once —
     a wrong sign/transpose/off-by-one in any [T,N,N] buffer breaks this."""
-    proc = request.getfixturevalue(proc_name)
     t = 4
     M = 200_000
     key = jax.random.key(5)
@@ -122,3 +134,11 @@ def test_posterior_telescopes_to_forward_marginal(proc_name, request):
     np.testing.assert_allclose(a.mean(0), b.mean(0), atol=4e-2)
     ca, cb = np.cov(a.T), np.cov(b.T)
     np.testing.assert_allclose(ca, cb, atol=max(1e-3, 0.05 * np.abs(cb).max()))
+
+
+def test_posterior_telescopes_iso(iso):
+    _telescoping_check(iso)
+
+
+def test_posterior_telescopes_noniso(noniso):
+    _telescoping_check(noniso)
