@@ -281,10 +281,17 @@ class GaussianDiffusion:
         shape: Tuple[int, ...],
         x_cond: Optional[Array] = None,
         start_noise: Optional[Array] = None,
+        step_noise: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """DDIM sampler (isotropic process only).  The reference's DDIM branch
         is dead code (`base.py:393-396`, ``times`` used before assignment);
-        implemented correctly here from the published DDIM update rule.
+        implemented correctly here from the published DDIM update rule —
+        proven against the ancestral sampler via the η=1 full-schedule
+        identity (`tests/test_ddim_equivalence.py`).
+
+        ``step_noise`` [B, S-1, N, D]: optional injected noise, row i used at
+        step-pair i (for the full schedule this matches ``p_sample_loop``'s
+        ``[:, T-1-t]`` indexing, enabling pathwise comparison).
         """
         assert isinstance(self.process, IsotropicProcess), "DDIM requires the isotropic process"
         import numpy as np
@@ -336,7 +343,10 @@ class GaussianDiffusion:
             alpha, alpha_next = acp[time], acp[time_next]
             sigma = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
             c = jnp.sqrt(1 - alpha_next - sigma**2)
-            noise = jax.random.normal(jax.random.fold_in(rng_steps, i), img.shape, dtype=img.dtype)
+            if step_noise is not None:
+                noise = step_noise[:, i]
+            else:
+                noise = jax.random.normal(jax.random.fold_in(rng_steps, i), img.shape, dtype=img.dtype)
             img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
         return img, start_noise
 
@@ -352,9 +362,10 @@ class GaussianDiffusion:
         """Public sampling API mirroring reference `base.py:439-443`."""
         shape = (batch_size, self.channels, self.seq_length)
         if self.is_ddim_sampling:
-            if step_noise is not None:
-                raise ValueError("step_noise injection is ancestral-only (as upstream)")
-            return self.ddim_sample(params, rng, shape, x_cond=x_cond, start_noise=start_noise)
+            return self.ddim_sample(
+                params, rng, shape, x_cond=x_cond, start_noise=start_noise,
+                step_noise=step_noise,
+            )
         return self.p_sample_loop(
             params, rng, shape, x_cond=x_cond, start_noise=start_noise, step_noise=step_noise
         )
