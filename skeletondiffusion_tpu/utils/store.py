@@ -35,3 +35,23 @@ class ResultStorer:
     def finalize(self, config: Dict):
         with open(os.path.join(self.out_dir, "config.yaml"), "w") as f:
             yaml.safe_dump(config, f)
+
+    @staticmethod
+    def load(out_dir: str):
+        """Read a dump back: ``(arrays, config)`` with every stored key
+        concatenated over shards in write order (the analysis-side
+        counterpart of the reference's zarr reads)."""
+        import glob
+
+        arrays: Dict[str, list] = {}
+        for path in sorted(glob.glob(os.path.join(out_dir, "shard_*.npz"))):
+            with np.load(path) as shard:
+                for k in shard.files:
+                    arrays.setdefault(k, []).append(shard[k])
+        out = {k: np.concatenate(v, axis=0) for k, v in arrays.items()}
+        cfg_path = os.path.join(out_dir, "config.yaml")
+        config = None
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                config = yaml.safe_load(f)
+        return out, config

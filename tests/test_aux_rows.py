@@ -190,3 +190,9 @@ def test_result_storer_roundtrip(tmp_path):
     assert "target" not in shard1.files and shard1["pred"].shape[0] == 2
     with open(os.path.join(out, "config.yaml")) as f:
         assert yaml.safe_load(f)["num_samples"] == 50
+
+    arrays, cfg = ResultStorer.load(out)
+    np.testing.assert_array_equal(arrays["pred"], np.concatenate([pred, pred[:2]]))
+    np.testing.assert_array_equal(arrays["obs"], np.concatenate([obs, obs[:2]]))
+    np.testing.assert_array_equal(arrays["target"], tgt)  # only shard 0 had it
+    assert cfg == {"dataset": "amass", "num_samples": 50}
