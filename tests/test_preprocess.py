@@ -85,3 +85,35 @@ def test_freeman_kpts_conversion(rng):
     nose = pos[:, 0] / 100
     nose[:, 2] *= -1
     np.testing.assert_allclose(out[:, 7], nose, atol=1e-9)
+
+
+def test_h36m_npz_creation_semantics(tmp_path, rng):
+    """create_h36m_npz on pre-extracted .npy files: 32→17 conversion, mm→m,
+    action canonicalization (reference `create_h36m_dataset.py` naming),
+    and the corrupted S11/Directions skip."""
+    from skeletondiffusion_tpu.data.preprocess.h36m import create_h36m_npz
+    from skeletondiffusion_tpu.skeleton.kinematic import H36MKinematic
+
+    clips = {
+        ("S9", "WalkingDog 1"): rng.normal(size=(7, 32, 3)) * 1000,
+        ("S9", "TakingPhoto"): rng.normal(size=(5, 32, 3)) * 1000,
+        ("S11", "Directions"): rng.normal(size=(6, 32, 3)) * 1000,  # skipped
+        ("S11", "Eating"): rng.normal(size=(4, 32, 3)) * 1000,
+    }
+    for (subj, action), arr in clips.items():
+        d = tmp_path / subj / "MyPoseFeatures" / "D3_Positions"
+        d.mkdir(parents=True, exist_ok=True)
+        np.save(str(d / f"{action}.npy"), arr.astype(np.float64))
+
+    out = str(tmp_path / "data_3d_h36m.npz")
+    result = create_h36m_npz(str(tmp_path), out, num_joints=17)
+
+    assert set(result) == {"S9", "S11"}
+    assert set(result["S9"]) == {"WalkDog_1", "Photo"}          # canonical names
+    assert set(result["S11"]) == {"Eating"}                      # Directions skipped
+    conv = H36MKinematic.CONVERSION_IDX_32TO17
+    want = (clips[("S9", "WalkingDog 1")][:, conv, :] / 1000.0).astype(np.float32)
+    np.testing.assert_allclose(result["S9"]["WalkDog_1"], want, rtol=1e-6)
+    # written file round-trips through the loader-side format
+    stored = np.load(out, allow_pickle=True)["positions_3d"].item()
+    np.testing.assert_array_equal(stored["S9"]["WalkDog_1"], result["S9"]["WalkDog_1"])
