@@ -137,6 +137,28 @@ def test_pipelined_and_sync_drain_identical(env, monkeypatch):
         np.testing.assert_array_equal(out["1"][k], out["0"][k], err_msg=k)
 
 
+def test_eval_is_deterministic_across_runs(env):
+    """Same seed → bit-identical metric table on repeat runs (guards the
+    prefetch thread / pipelined drain / pad-RNG paths against
+    nondeterminism creep)."""
+    root, skeleton, dataset = env
+    ae, ae_params, diffusion, dparams = _models(skeleton)
+    predictor = SkeletonDiffusionPredictor(
+        skeleton, ae, ae_params, diffusion, dparams, num_samples=4, pred_length=PRED,
+    )
+    runs = [
+        compute_metrics(
+            predictor, dataset, skeleton, batch_size=8, num_samples=4,
+            stats_mode="probabilistic", seed=3, if_compute_cmd=True,
+            if_compute_apde=True, mmapd_gt_path=os.path.join(root, "mmapd_GT.csv"),
+        )
+        for _ in range(2)
+    ]
+    assert runs[0].keys() == runs[1].keys()
+    for k in runs[0]:
+        np.testing.assert_array_equal(runs[0][k], runs[1][k], err_msg=k)
+
+
 def test_fid_in_eval_loop(env):
     import jax.numpy as jnp
 
