@@ -16,7 +16,8 @@ the export wrapper traces a marginally different program, so XLA's fusion
 (and therefore bf16 rounding) can differ: measured ≤4.9e-4 max deviation in
 input space at the bench config (≈0.7 mm metric — same order as the
 documented bf16-vs-fp32 decode deviation, docs/bf16_eval_quality.json), and
-throughput matches the live bench rate (295 preds/s at batch 64 on one v5e).
+throughput matches the live bench rate: 322.3 preds/s at batch 256 (vs 324
+live bench) and 295 preds/s at batch 64, measured on one v5e.
 
 Artifact layout (a directory):
     predict_b{N}.stablehlo  serialized jax.export module per batch bucket
