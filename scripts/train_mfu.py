@@ -55,7 +55,13 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--k", type=int, default=50)
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--out", default=None)
+    p.add_argument("--remat", action="store_true",
+                   help="model.remat_denoiser=True (stage 2 only)")
+    p.add_argument("--stage", type=int, default=0, choices=(0, 1, 2),
+                   help="0 = both stages")
+    p.add_argument("--out", default=None,
+                   help="JSON path; entries with the same (stage, batch, "
+                        "remat, dtype) are replaced, others kept")
     args = p.parse_args()
     cdt = None if args.dtype in ("float32", "fp32") else args.dtype
 
@@ -63,35 +69,52 @@ def main():
         V5E_BF16_PEAK_FLOPS, mfu, train_step_flops_stage1, train_step_flops_stage2)
 
     N = 21  # amass hmp, if_consider_hip=False
-    results = {"backend": jax.default_backend(), "batch": args.batch,
-               "k": args.k, "compute_dtype": args.dtype, "stages": []}
+    entries = []
 
-    fn, fargs = build_stage2(args.batch, args.k, cdt)
-    t2 = time_step(fn, fargs)
-    f2 = train_step_flops_stage2(N, args.batch, args.k,
-                                 obs_len=OBS_LEN, pred_len=PRED_LEN, latent=LATENT)
-    results["stages"].append({
-        "stage": 2, "step_s": round(t2, 4),
-        "useful_gflops": round(f2["total"] / 1e9, 1),
-        "achieved_tflops_s": round(f2["total"] / t2 / 1e12, 2),
-        "mfu": round(mfu(f2["total"] / t2), 4),
-        "phase_gflops": {k: round(v / 1e9, 1) for k, v in f2.items()},
-    })
+    if args.stage in (0, 2):
+        fn, fargs = build_stage2(args.batch, args.k, cdt, remat=args.remat)
+        t2 = time_step(fn, fargs)
+        f2 = train_step_flops_stage2(N, args.batch, args.k,
+                                     obs_len=OBS_LEN, pred_len=PRED_LEN, latent=LATENT)
+        entries.append({
+            "stage": 2, "batch": args.batch, "k": args.k, "remat": args.remat,
+            "compute_dtype": args.dtype, "step_s": round(t2, 4),
+            "items_per_s": round(args.batch / t2, 1),
+            "useful_gflops": round(f2["total"] / 1e9, 1),
+            "achieved_tflops_s": round(f2["total"] / t2 / 1e12, 2),
+            "mfu": round(mfu(f2["total"] / t2), 4),
+            "phase_gflops": {k: round(v / 1e9, 1) for k, v in f2.items()},
+        })
 
-    fn, fargs = build_stage1(args.batch, cdt)
-    t1 = time_step(fn, fargs)
-    f1 = train_step_flops_stage1(N, args.batch, obs_len=OBS_LEN,
-                                 pred_len=PRED_LEN, latent=LATENT)
-    results["stages"].append({
-        "stage": 1, "step_s": round(t1, 4),
-        "useful_gflops": round(f1["total"] / 1e9, 1),
-        "achieved_tflops_s": round(f1["total"] / t1 / 1e12, 2),
-        "mfu": round(mfu(f1["total"] / t1), 4),
-    })
-    results["peak_tflops_s"] = V5E_BF16_PEAK_FLOPS / 1e12
+    if args.stage in (0, 1):
+        fn, fargs = build_stage1(args.batch, cdt)
+        t1 = time_step(fn, fargs)
+        f1 = train_step_flops_stage1(N, args.batch, obs_len=OBS_LEN,
+                                     pred_len=PRED_LEN, latent=LATENT)
+        entries.append({
+            "stage": 1, "batch": args.batch, "remat": False,
+            "compute_dtype": args.dtype, "step_s": round(t1, 4),
+            "items_per_s": round(args.batch / t1, 1),
+            "useful_gflops": round(f1["total"] / 1e9, 1),
+            "achieved_tflops_s": round(f1["total"] / t1 / 1e12, 2),
+            "mfu": round(mfu(f1["total"] / t1), 4),
+        })
 
+    results = {"backend": jax.default_backend(),
+               "peak_tflops_s": V5E_BF16_PEAK_FLOPS / 1e12, "stages": entries}
     print(json.dumps(results, indent=2))
     if args.out:
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                prior = json.load(f)
+            key = lambda e: (e["stage"], e.get("batch"), bool(e.get("remat")),
+                             e.get("compute_dtype"))
+            new_keys = {key(e) for e in entries}
+            kept = [e for e in prior.get("stages", []) if key(e) not in new_keys]
+            results["stages"] = kept + entries
+            for extra in prior:
+                if extra not in results and extra != "stages":
+                    results[extra] = prior[extra]
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
 

@@ -29,6 +29,16 @@ Variable request sizes: export several buckets (``batch_size=[64, 256]``);
 ``ServingModel`` routes a request to the smallest bucket ≥ its batch, pads
 by repeating the last observation, and slices the pad rows off the result
 (static shapes — one compiled program per bucket, never per request).
+
+Weight provenance: on the TPU fused-denoiser path the predictor pre-packs
+the denoiser weights at construction (node gathers/pads/casts closed over
+by the fused kernels), so those tensors are serialized INTO the StableHLO
+as constants — ``params.msgpack`` alone cannot retarget such an artifact to
+new denoiser weights.  The manifest records this as
+``weights_baked_in_program``; when it is true, re-export after any weight
+change (editing ``params.msgpack`` in place would silently mix new AE/cond
+weights with the baked denoiser weights).  Unfused exports (CPU, or
+``SKELDIFF_FUSED_DENOISER=0``) take every weight from ``params.msgpack``.
 """
 from __future__ import annotations
 
@@ -150,6 +160,10 @@ def export_predictor(
         "key_data_shape": list(key_data_sds.shape),
         "fused_denoiser": bool(getattr(predictor, "use_fused_denoiser", False)),
         "fused_decode": bool(getattr(predictor, "use_fused_decode", False)),
+        # fused predictors close over pre-packed denoiser weights — those are
+        # constants in the exported program; params.msgpack cannot retarget
+        # them (see module docstring, "Weight provenance")
+        "weights_baked_in_program": bool(getattr(predictor, "use_fused_denoiser", False)),
         "mesh": mesh_info,
     }
     with open(os.path.join(out_dir, MANIFEST_FILE), "w") as f:
@@ -172,7 +186,8 @@ class ServingModel:
 
         with open(os.path.join(artifact_dir, MANIFEST_FILE)) as f:
             self.manifest: Dict = json.load(f)
-        assert self.manifest["format_version"] == _FORMAT_VERSION, self.manifest
+        if self.manifest.get("format_version") != _FORMAT_VERSION:
+            raise ValueError(f"unsupported artifact format: {self.manifest}")
         self.batch_sizes: List[int] = list(self.manifest["batch_sizes"])
         self._exported = {}
         for b in self.batch_sizes:
@@ -184,21 +199,32 @@ class ServingModel:
         mesh_info = self.manifest.get("mesh")
         self._shard_obs = None
         if mesh_info is not None:
-            assert mesh is not None, (
-                f"artifact was exported SPMD over {mesh_info['axes']}; "
-                "pass a matching jax.sharding.Mesh"
-            )
-            assert dict(mesh.shape) == mesh_info["axes"], (dict(mesh.shape), mesh_info)
+            if mesh is None:
+                raise ValueError(
+                    f"artifact was exported SPMD over {mesh_info['axes']}; "
+                    "pass a matching jax.sharding.Mesh"
+                )
+            if dict(mesh.shape) != mesh_info["axes"]:
+                raise ValueError(
+                    f"mesh {dict(mesh.shape)} does not match the exported "
+                    f"layout {mesh_info['axes']}"
+                )
             from .parallel import batch_sharding, replicate
 
             self._ae_params = replicate(mesh, self._ae_params)
             self._diff_params = replicate(mesh, self._diff_params)
             self._shard_obs = lambda obs: jax.device_put(obs, batch_sharding(mesh))
+        elif mesh is not None:
+            raise ValueError(
+                "artifact was exported single-device; a mesh cannot be applied "
+                "at load time — re-export with export_predictor(..., mesh=mesh)"
+            )
+        # params passed as CALL arguments, not closure constants — closing
+        # over them would serialize a copy of every weight into EACH bucket's
+        # compiled executable
         self._calls = {
             b: jax.jit(
-                lambda key_data, obs, _e=e: _e.call(
-                    self._ae_params, self._diff_params, key_data, obs
-                )
+                lambda ae, diff, key_data, obs, _e=e: _e.call(ae, diff, key_data, obs)
             )
             for b, e in self._exported.items()
         }
@@ -213,12 +239,18 @@ class ServingModel:
         return self.manifest["num_samples"]
 
     def __call__(self, rng: jax.Array, obs) -> jax.Array:
+        # request-path validation raises (not assert: serving hosts may run
+        # python -O, which strips asserts)
         obs = jnp.asarray(obs, jnp.float32)
         tail = tuple(self.manifest["obs_tail_shape"])
-        assert obs.shape[1:] == tail, f"obs tail {obs.shape[1:]} != exported {tail}"
+        if obs.shape[1:] != tail:
+            raise ValueError(f"obs tail {obs.shape[1:]} != exported {tail}")
         B = obs.shape[0]
         fits = [b for b in self.batch_sizes if b >= B]
-        assert fits, f"batch {B} exceeds largest exported bucket {self.batch_size}"
+        if not fits:
+            raise ValueError(
+                f"batch {B} exceeds largest exported bucket {self.batch_size}"
+            )
         bucket = fits[0]
         if bucket != B:
             obs = jnp.concatenate(
@@ -226,5 +258,7 @@ class ServingModel:
             )
         if self._shard_obs is not None:
             obs = self._shard_obs(obs)
-        pred = self._calls[bucket](jax.random.key_data(rng), obs)
+        pred = self._calls[bucket](
+            self._ae_params, self._diff_params, jax.random.key_data(rng), obs
+        )
         return pred[:B] if bucket != B else pred

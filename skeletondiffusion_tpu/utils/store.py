@@ -40,14 +40,28 @@ class ResultStorer:
     def load(out_dir: str):
         """Read a dump back: ``(arrays, config)`` with every stored key
         concatenated over shards in write order (the analysis-side
-        counterpart of the reference's zarr reads)."""
+        counterpart of the reference's zarr reads).
+
+        Raises if a key is present in only SOME shards — silently
+        concatenating the shards that have it would misalign its rows
+        against the keys that span every shard."""
         import glob
 
+        paths = sorted(glob.glob(os.path.join(out_dir, "shard_*.npz")))
         arrays: Dict[str, list] = {}
-        for path in sorted(glob.glob(os.path.join(out_dir, "shard_*.npz"))):
+        present: Dict[str, list] = {}
+        for i, path in enumerate(paths):
             with np.load(path) as shard:
                 for k in shard.files:
                     arrays.setdefault(k, []).append(shard[k])
+                    present.setdefault(k, []).append(i)
+        ragged = {k: v for k, v in present.items() if len(v) != len(paths)}
+        if ragged:
+            raise ValueError(
+                f"keys {sorted(ragged)} are present in only some of the "
+                f"{len(paths)} shards (shard indices {ragged}); rows would "
+                "misalign across keys — load those shards individually"
+            )
         out = {k: np.concatenate(v, axis=0) for k, v in arrays.items()}
         cfg_path = os.path.join(out_dir, "config.yaml")
         config = None

@@ -191,8 +191,20 @@ def test_result_storer_roundtrip(tmp_path):
     with open(os.path.join(out, "config.yaml")) as f:
         assert yaml.safe_load(f)["num_samples"] == 50
 
-    arrays, cfg = ResultStorer.load(out)
+    # ragged key presence (target only in shard 0) must be REJECTED — a
+    # silent concat would misalign target rows against pred rows
+    import pytest
+    with pytest.raises(ValueError, match="target"):
+        ResultStorer.load(out)
+
+    # aligned dump round-trips
+    out2 = str(tmp_path / "preds2")
+    st2 = ResultStorer(out2, store_gt=True)
+    st2.append(pred, obs=obs, target=tgt)
+    st2.append(pred[:2], obs=obs[:2], target=tgt[:2])
+    st2.finalize({"dataset": "amass", "num_samples": 50})
+    arrays, cfg = ResultStorer.load(out2)
     np.testing.assert_array_equal(arrays["pred"], np.concatenate([pred, pred[:2]]))
     np.testing.assert_array_equal(arrays["obs"], np.concatenate([obs, obs[:2]]))
-    np.testing.assert_array_equal(arrays["target"], tgt)  # only shard 0 had it
+    np.testing.assert_array_equal(arrays["target"], np.concatenate([tgt, tgt[:2]]))
     assert cfg == {"dataset": "amass", "num_samples": 50}

@@ -95,7 +95,7 @@ def test_spmd_export_matches_single_device(artifact):
     got = model(rng, obs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
     # loading an SPMD artifact without a mesh is rejected
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         ServingModel(out)
 
 
@@ -107,10 +107,13 @@ def _tmp(artifact):
 def test_wrong_shape_rejected(artifact):
     sk, _, out = artifact
     model = ServingModel(out)
-    with pytest.raises(AssertionError):  # over the largest bucket
+    with pytest.raises(ValueError):  # over the largest bucket
         model(jax.random.key(0), np.zeros((B + 1, OBS, sk.num_nodes, 3), np.float32))
-    with pytest.raises(AssertionError):  # wrong tail shape
+    with pytest.raises(ValueError):  # wrong tail shape
         model(jax.random.key(0), np.zeros((B, OBS + 1, sk.num_nodes, 3), np.float32))
+    with pytest.raises(ValueError):  # mesh on a single-device artifact
+        from skeletondiffusion_tpu.parallel import create_mesh
+        ServingModel(out, mesh=create_mesh(n_devices=4))
 
 
 def test_batch_buckets_route_and_pad(artifact):
