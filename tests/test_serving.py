@@ -99,6 +99,23 @@ def test_spmd_export_matches_single_device(artifact):
         ServingModel(out)
 
 
+def test_spmd_with_batch_buckets(artifact):
+    """SPMD export composes with batch buckets: a batch-3 request pads into
+    the sharded size-4 bucket and matches the live predictor."""
+    from skeletondiffusion_tpu.parallel import create_mesh
+
+    sk, predictor, _ = artifact
+    mesh = create_mesh(n_devices=4)
+    out = _tmp(artifact)
+    export_predictor(predictor, out, batch_size=[4, 8], mesh=mesh)
+    model = ServingModel(out, mesh=mesh)
+    obs3 = jax.random.normal(jax.random.key(30), (3, OBS, sk.num_nodes, 3)) * 0.3
+    got = model(jax.random.key(31), obs3)
+    padded = jnp.concatenate([obs3, obs3[-1:]], axis=0)
+    want, _ = predictor(jax.random.key(31), padded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want)[:3], atol=1e-5)
+
+
 def _tmp(artifact):
     import tempfile
     return tempfile.mkdtemp(prefix="spmd_artifact_")
