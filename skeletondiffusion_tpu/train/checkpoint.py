@@ -85,10 +85,30 @@ class CheckpointManager:
         entry = max(scored, key=lambda e: e["score"])
         return os.path.join(self.directory, entry["name"])
 
+    @staticmethod
+    def _sharding_of(x):
+        """Restore onto the target leaf's own sharding (single-device by
+        default) — without it Orbax falls back to the sharding file recorded
+        at save time and warns that restoring on a different topology is
+        unsafe."""
+        import jax
+
+        if isinstance(x, jax.Array):
+            return x.sharding
+        # numpy / scalar leaves: restore onto the default device
+        return jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
     def restore(self, target: Any, path: Optional[str] = None) -> Any:
         path = path or self.latest_path()
         assert path is not None, "no checkpoint to restore"
-        return self._ckpt.restore(path, target)
+        import jax
+
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=self._sharding_of(x))
+            if hasattr(x, "shape") else x,
+            target,
+        )
+        return self._ckpt.restore(path, abstract)
 
     def restore_partial(self, target: Any, path: Optional[str] = None) -> Any:
         """Restore only the subtree present in ``target`` (e.g. params-only
@@ -98,7 +118,8 @@ class CheckpointManager:
         import jax
 
         restore_args = jax.tree.map(
-            lambda x: ocp.type_handlers.ArrayRestoreArgs(), target
+            lambda x: ocp.type_handlers.ArrayRestoreArgs(sharding=self._sharding_of(x)),
+            target,
         )
         with ocp.PyTreeCheckpointer() as ckptr:
             return ckptr.restore(
