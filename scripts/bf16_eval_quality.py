@@ -36,65 +36,22 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import numpy as np
-
 J = 22
 CLIP_LEN = 400  # >= obs 30 + pred 120
 
 
 def make_dataset(root: str) -> None:
-    """Synthetic AMASS-format data at full task shapes: npz positions +
-    test-segment csv + mmapd_GT stub (same on-disk format as
-    ``tests/test_cli_end2end.py``)."""
-    import pandas as pd
+    """Synthetic AMASS-format data at full task shapes via the packaged
+    generator.  Threshold 2.0 keeps neighbor sets sparse on unit-noise poses
+    (see scripts/eval_loop_bench.py)."""
+    from skeletondiffusion_tpu.data.synthetic import make_synthetic_amass
 
-    pre = os.path.join(root, "datasets", "processed", "AMASS", "hmp")
-    ann = os.path.join(root, "datasets", "annotations", "AMASS", "hmp")
-    os.makedirs(pre, exist_ok=True)
-    os.makedirs(ann, exist_ok=True)
-    rng = np.random.default_rng(0)
-    positions = {}
-    for ds in ("ACCAD", "CMU", "DFaust"):
-        positions[ds] = {
-            fi: (rng.standard_normal((CLIP_LEN, J, 3)) * 0.3).astype(np.float32)
-            for fi in range(2)
-        }
-    np.savez(os.path.join(pre, "data_3d_amass.npz"), positions_3d=positions)
-    rows = [
-        {"dataset": "DFaust", "file": f"f{fi}", "file_idx": fi,
-         "pred_init": init, "pred_end": init + 120 - 1}
-        for fi in range(2)
-        for init in range(30, CLIP_LEN - 120, 40)
-    ]
-    pd.DataFrame(rows).to_csv(os.path.join(ann, "segments_test.csv"), index=False)
-    pd.DataFrame([{"id": i, "gt_APD": 1.0} for i in range(len(rows))]).to_csv(
-        os.path.join(ann, "mmapd_GT.csv"), index=False
-    )
-
-    # probabilistic eval loads a PREcomputed mm-GT file
-    # ({precomputed_folder}/mmgt_test.txt, dataset.py::load_mmgt); build it
-    # with the same tooling the loaders use.  Threshold 2.0 keeps neighbor
-    # sets sparse on unit-noise poses (see scripts/eval_loop_bench.py).
-    from skeletondiffusion_tpu.data import (
-        AMASSDataset,
-        compute_multimodal_gt_for_dataset,
-    )
-    from skeletondiffusion_tpu.skeleton import create_skeleton
-
-    skeleton = create_skeleton(
-        dataset_name="amass", motion_repr_type="SkeletonRescalePose",
-        num_joints=J, pose_box_size=1.5, obs_length=30, pred_length=120,
-        if_consider_hip=False,
-    )
-    ds_tmp = AMASSDataset(
-        datasets=["DFaust"], split="test", precomputed_folder=pre + "/",
-        skeleton=skeleton, obs_length=30, pred_length=120,
-        segments_path=os.path.join(ann, "segments_test.csv"),
-        if_consider_hip=False, silent=True,
-    )
-    compute_multimodal_gt_for_dataset(
-        ds_tmp, skeleton, multimodal_threshold=2.0,
-        dest_path=os.path.join(pre, "mmgt_test.txt"),
+    make_synthetic_amass(
+        root,
+        obs_length=30, pred_length=120,
+        test_datasets=("DFaust",), files_per_dataset=2,
+        clip_len=CLIP_LEN, segment_stride=40,
+        multimodal_threshold=2.0, num_joints=J, pose_box_size=1.5, seed=0,
     )
 
 

@@ -503,7 +503,16 @@ def compute_metrics(
             timer.stop()
         if ndebug:
             break
-    drain(pending)
+    # time the trailing drain as its own interval: without it a split that
+    # fits in one batch would record only the async dispatch (~ms) and the
+    # printed summary would wildly under-report the actual eval latency; with
+    # it the interval sum equals true wall time for any batch count
+    if timer is not None and pending is not None:
+        timer.start()
+        drain(pending)
+        timer.stop()
+    else:
+        drain(pending)
     results = suite.compute()
     if fid_acc is not None:
         # Fréchet distance pred-vs-GT activations; h0 follows the reference

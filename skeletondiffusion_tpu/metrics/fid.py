@@ -8,6 +8,7 @@ is a flax module with a ``port_classifier`` converter for the reference's
 """
 from __future__ import annotations
 
+import warnings
 from typing import Dict
 
 import flax.linen as nn
@@ -95,11 +96,22 @@ def fid_from_activations(act1: np.ndarray, act2: np.ndarray, eps: float = 1e-6) 
     s1 = np.cov(act1, rowvar=False)
     s2 = np.cov(act2, rowvar=False)
     diff = mu1 - mu2
-    # no `disp=` kwarg: deprecated and removed in SciPy >= 1.18
-    covmean = linalg.sqrtm(s1.dot(s2))
+    def _sqrtm_quiet(a):
+        # SciPy < 1.18: `disp=True` default prints an error estimate on
+        # near-singular products, so pass disp=False (returns a (root,
+        # errest) tuple); SciPy >= 1.18 removed the kwarg and is silent
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", DeprecationWarning)
+                root, _ = linalg.sqrtm(a, disp=False)
+            return root
+        except TypeError:
+            return linalg.sqrtm(a)
+
+    covmean = _sqrtm_quiet(s1.dot(s2))
     if not np.isfinite(covmean).all():
         offset = np.eye(s1.shape[0]) * eps
-        covmean = linalg.sqrtm((s1 + offset).dot(s2 + offset))
+        covmean = _sqrtm_quiet((s1 + offset).dot(s2 + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff.dot(diff) + np.trace(s1) + np.trace(s2) - 2 * np.trace(covmean))

@@ -246,6 +246,8 @@ class ServingModel:
         if obs.shape[1:] != tail:
             raise ValueError(f"obs tail {obs.shape[1:]} != exported {tail}")
         B = obs.shape[0]
+        if B == 0:
+            raise ValueError("empty request: obs batch must be >= 1")
         fits = [b for b in self.batch_sizes if b >= B]
         if not fits:
             raise ValueError(

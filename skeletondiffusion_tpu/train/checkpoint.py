@@ -95,8 +95,10 @@ class CheckpointManager:
 
         if isinstance(x, jax.Array):
             return x.sharding
-        # numpy / scalar leaves: restore onto the default device
-        return jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        # numpy / scalar leaves: restore onto this process's first device —
+        # jax.devices()[0] is process 0's device and not addressable from
+        # other hosts in a multihost run
+        return jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
 
     def restore(self, target: Any, path: Optional[str] = None) -> Any:
         path = path or self.latest_path()

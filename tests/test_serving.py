@@ -128,6 +128,8 @@ def test_wrong_shape_rejected(artifact):
         model(jax.random.key(0), np.zeros((B + 1, OBS, sk.num_nodes, 3), np.float32))
     with pytest.raises(ValueError):  # wrong tail shape
         model(jax.random.key(0), np.zeros((B, OBS + 1, sk.num_nodes, 3), np.float32))
+    with pytest.raises(ValueError):  # empty request (pad-to-bucket can't fix B=0)
+        model(jax.random.key(0), np.zeros((0, OBS, sk.num_nodes, 3), np.float32))
     with pytest.raises(ValueError):  # mesh on a single-device artifact
         from skeletondiffusion_tpu.parallel import create_mesh
         ServingModel(out, mesh=create_mesh(n_devices=4))
