@@ -24,10 +24,25 @@ def main():
     session = InferenceSession(args.checkpoint, args.dataset, num_samples=args.num_samples)
     sk = session.skeleton
 
-    # toy observation: in practice load a real [T_obs, J, 3] pose sequence
-    obs = np.random.default_rng(0).standard_normal(
-        (sk.obs_length, sk.num_joints, 3)
-    ).astype(np.float32) * 0.2
+    # shipped real observation (same demo inputs as the reference notebooks,
+    # datasets/examples/README.md); falls back to a toy sequence for configs
+    # with no packaged example
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    example_path = os.path.join(
+        here, "datasets", "examples", f"example_obs_{args.dataset}.npy"
+    )
+    if os.path.exists(example_path) and sk.obs_length <= 30:
+        # arrays store the full 52-joint SMPL-H set; the body model uses the
+        # first `num_joints` (hands are appended after the body joints)
+        obs = np.load(example_path)[0, -sk.obs_length:, : sk.num_joints]
+        obs = obs.astype(np.float32)
+        print(f"using shipped example observation {example_path}")
+    else:
+        obs = np.random.default_rng(0).standard_normal(
+            (sk.obs_length, sk.num_joints, 3)
+        ).astype(np.float32) * 0.2
 
     pred = session.predict(obs, rng=jax.random.key(0))  # [S, T, N, 3] metric space
     print("predictions:", pred.shape)

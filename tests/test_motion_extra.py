@@ -154,3 +154,32 @@ def test_parallel_grid_rendering(tmp_path):
     ]
     paths = render_prediction_grids_parallel(jobs, sk, n_workers=1, fps=5)
     assert len(paths) == 2 and all(os.path.getsize(p) > 0 for p in paths)
+
+
+def test_shipped_example_observations():
+    """The packaged demo inputs (datasets/examples/*.npy, same artifacts the
+    reference notebooks load) have the documented shape and flow through the
+    input-space transform for both the 22-joint body and 52-joint MANO
+    skeletons."""
+    import os
+
+    import numpy as np
+
+    from skeletondiffusion_tpu.skeleton import create_skeleton
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, num_joints in (("amass", 22), ("amass-mano", 52)):
+        path = os.path.join(here, "datasets", "examples", f"example_obs_{name}.npy")
+        obs = np.load(path)
+        assert obs.shape == (1, 30, 52, 3) and np.isfinite(obs).all()
+        # meters, root included: plausible human scale
+        extent = obs.max(axis=(0, 1, 2)) - obs.min(axis=(0, 1, 2))
+        assert (extent < 5.0).all() and (extent > 0.05).any()
+        sk = create_skeleton(
+            dataset_name="amass", motion_repr_type="SkeletonRescalePose",
+            num_joints=num_joints, pose_box_size=1.5, obs_length=30,
+            pred_length=120, if_consider_hip=False,
+        )
+        x = obs[:, :, :num_joints].astype(np.float32)
+        inp = sk.tranform_to_input_space(x)
+        assert inp.shape == (1, 30, sk.num_nodes, 3)
