@@ -33,17 +33,23 @@ def make_synthetic_amass(
     num_joints: int = 22,
     pose_box_size: float = 1.1,
     seed: int = 0,
+    dataset_name: str = "amass",
+    dataset_dir: str = "AMASS",
 ) -> str:
     """Build the dataset tree; returns ``<root>/datasets`` (the value to
     pass as ``dataset_main_path=``).  Defaults match the 0.1 s/0.25 s @60 fps
-    smoke task (``task.history_sec=0.1 task.prediction_horizon_sec=0.25``)."""
+    smoke task (``task.history_sec=0.1 task.prediction_horizon_sec=0.25``).
+    For the 52-joint MANO variant pass ``num_joints=52,
+    dataset_name='amass-mano', dataset_dir='AMASS-MANO'`` (the npz file name
+    stays ``data_3d_amass.npz`` inside the variant folder, reference
+    `amass.py:48` + `configs/.../dataset/amass-mano.yaml:7-8`)."""
     assert clip_len >= obs_length + pred_length + segment_stride, (
         clip_len, obs_length, pred_length)
     import pandas as pd
 
     ds_root = os.path.join(root, "datasets")
-    pre = os.path.join(ds_root, "processed", "AMASS", "hmp")
-    ann = os.path.join(ds_root, "annotations", "AMASS", "hmp")
+    pre = os.path.join(ds_root, "processed", dataset_dir, "hmp")
+    ann = os.path.join(ds_root, "annotations", dataset_dir, "hmp")
     os.makedirs(pre, exist_ok=True)
     os.makedirs(ann, exist_ok=True)
 
@@ -78,7 +84,7 @@ def make_synthetic_amass(
     from .preprocess.common import finalize_dataset
 
     skeleton = create_skeleton(
-        dataset_name="amass", motion_repr_type="SkeletonRescalePose",
+        dataset_name=dataset_name, motion_repr_type="SkeletonRescalePose",
         num_joints=num_joints, pose_box_size=pose_box_size, obs_length=obs_length,
         pred_length=pred_length, if_consider_hip=False,
     )

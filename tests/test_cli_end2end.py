@@ -456,3 +456,65 @@ def test_two_stage_training_and_eval(data_root, monkeypatch):
     assert pred.shape[:2] == (3, sk.pred_length) or pred.shape[0] == 3
     closest, diverse, idx = session.rank(pred, np.repeat(obs[-1:], sk.pred_length, axis=0), n_diverse=2)
     assert len(idx) == 2 and np.all(np.isfinite(np.asarray(closest)))
+
+
+def test_amass_mano_two_stage_training_and_eval(tmp_path, monkeypatch):
+    """52-joint AMASS-MANO end-to-end smoke through the real CLIs: the MANO
+    kinematic (51-node graph after root drop), the AMASS-MANO/ dataset tree
+    (same npz file name inside the variant folder, reference `amass.py:48`),
+    and the checkpoint-true eval all compose."""
+    from skeletondiffusion_tpu.cli.eval import main as eval_main
+    from skeletondiffusion_tpu.cli.train_autoencoder import main as train_ae_main
+    from skeletondiffusion_tpu.cli.train_diffusion import main as train_diff_main
+    from skeletondiffusion_tpu.data.synthetic import make_synthetic_amass
+
+    monkeypatch.chdir(REPO_ROOT)
+    ds_root = make_synthetic_amass(
+        str(tmp_path), num_joints=52, dataset_name="amass-mano",
+        dataset_dir="AMASS-MANO", train_datasets=("ACCAD", "CMU"),
+        test_datasets=("DFaust",), segment_stride=12, seed=5,
+    )
+    common = [
+        f"dataset_main_path={ds_root}",
+        "task.history_sec=0.1",
+        "task.prediction_horizon_sec=0.25",
+        "device_mesh.n_devices=1",
+        "dataset.data_loader_train.datasets=[ACCAD, CMU]",
+        "dataset.data_loader_train.stride=8",
+        "dataset.data_loader_train.augmentation=2",
+    ]
+    ae_dir = train_ae_main(common + [
+        "dataset=amass-mano",
+        f"output_log_path={tmp_path}/out_ae",
+        "model.num_epochs=1", "model.batch_size=4", "model.num_iter_perepoch=2",
+        "model.latent_size=8",
+        "model.autoenc_arch.encoder_hidden_size=8",
+        "model.autoenc_arch.decoder_hidden_size=8",
+        "model.curriculum_it=1", "model.save_frequency=1",
+        "model.if_run_validation=False",
+    ])
+    diff_dir = train_diff_main(common + [
+        f"output_log_path={tmp_path}/out_diff",
+        f"model.pretrained_autoencoder_path={ae_dir}/checkpoints",
+        "model.num_epochs=1", "model.batch_size=4", "model.num_iter_perepoch=2",
+        "model.train_pick_best_sample_among_k=2",
+        "model.diffusion_timesteps=4",
+        "model.diffusion_arch.depth=1",
+        "model.diffusion_arch.attn_heads=2",
+        "model.diffusion_arch.attn_dim_head=4",
+        "model.save_frequency=1",
+    ])
+    results = eval_main([
+        "dataset=amass-mano",
+        f"dataset_main_path={ds_root}",
+        "device_mesh.n_devices=1",
+        "task.history_sec=0.1",
+        "task.prediction_horizon_sec=0.25",
+        f"checkpoint_path={diff_dir}",
+        "stats_mode=deterministic",
+        "batch_size=8",
+        "num_samples=2",
+        f"results_path={tmp_path}/results.yaml",
+    ])
+    for key in ("ADE", "FDE", "APD"):
+        assert key in results and np.isfinite(results[key]), (key, results)
