@@ -37,18 +37,17 @@ def main():
     from skeletondiffusion_tpu.metrics.ranking import get_closest_and_nfurthest_maxapd
     from skeletondiffusion_tpu.utils.plot import animate_prediction_grid
 
-    session = InferenceSession(args.checkpoint, args.dataset,
-                               num_samples=args.num_samples,
-                               overrides=args.override)
+    session = InferenceSession(
+        args.checkpoint, args.dataset, num_samples=args.num_samples,
+        overrides=[f"dataset_main_path={args.dataset_main_path}", *args.override],
+    )
     sk = session.skeleton
     cfg = session.cfg
 
-    name_map = {"amass": "AMASS", "amass-mano": "AMASS-MANO", "h36m": "H36M",
-                "freeman": "FreeMan", "3dpw": "3DPW"}
-    folder = os.path.join(args.dataset_main_path, "processed",
-                          name_map.get(args.dataset, args.dataset), "hmp")
-    ann = os.path.join(args.dataset_main_path, "annotations",
-                       name_map.get(args.dataset, args.dataset), "hmp")
+    # folders come resolved from the config tree (h36m lives under
+    # Human36M/, not a name-mangled guess)
+    folder = cfg["precomputed_folder"]
+    ann = cfg["annotations_folder"]
     ds_cls = DATASET_CLASSES[cfg["dataset_type"]]
     dataset = ds_cls(
         datasets=cfg["data_loader_test"].get("datasets"),
