@@ -122,13 +122,17 @@ class GaussianDiffusion:
         t: Array,
         x_cond: Optional[Array] = None,
         n_train_samples: int = 1,
+        noise: Optional[Array] = None,
     ) -> Tuple[Array, Array, Array]:
         """Per-sample diffusion losses.
 
         Returns ``(loss [b·k], loss_weight [b], model_out [b·k,N,D])``
         matching reference `base.py:262-300`.  With ``n_train_samples=k>1``
         the batch axis is fanned out k-fold (repeat_interleave layout:
-        sample j of item i sits at row i·k+j).
+        sample j of item i sits at row i·k+j).  ``noise``: optional injected
+        white noise at the POST-fan-out shape ``[b·k, N, D]`` (the
+        reference's ``p_losses(..., noise=...)`` parameter, `base.py:262`;
+        used by the cross-implementation training-objective parity test).
         """
         b = x_start.shape[0]
         loss_weight = extract(self.process.loss_weight, t, 1).reshape(b)
@@ -139,7 +143,8 @@ class GaussianDiffusion:
             if x_cond is not None:
                 x_cond = jnp.repeat(x_cond, n_train_samples, axis=0)
 
-        noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
+        if noise is None:
+            noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
         x = self.process.q_sample(x_start, t, noise)
         model_out = self.feed_model(params, x, t, x_cond)
 
@@ -163,14 +168,21 @@ class GaussianDiffusion:
         x: Array,
         x_cond: Optional[Array] = None,
         n_train_samples: int = 1,
+        t: Optional[Array] = None,
+        noise: Optional[Array] = None,
     ) -> Tuple[Array, Array, Array]:
         """Sample t ~ U[0,T) per item and compute p_losses; reference
-        `base.py:302-307` (``forward``)."""
+        `base.py:302-307` (``forward``).  ``t``/``noise``: optional injected
+        timesteps/white noise for deterministic cross-implementation tests."""
         rng_t, rng_noise = jax.random.split(rng)
         b = x.shape[0]
         assert x.shape[-1] == self.seq_length
-        t = jax.random.randint(rng_t, (b,), 0, self.num_timesteps)
-        return self.p_losses(params, rng_noise, x, t, x_cond=x_cond, n_train_samples=n_train_samples)
+        if t is None:
+            t = jax.random.randint(rng_t, (b,), 0, self.num_timesteps)
+        return self.p_losses(
+            params, rng_noise, x, t, x_cond=x_cond,
+            n_train_samples=n_train_samples, noise=noise,
+        )
 
     # ---- ancestral sampling -----------------------------------------------
     def p_sample_loop(

@@ -144,17 +144,25 @@ class TrainerDiffusion:
         out = out.reshape(b, k, *out.shape[1:])
         if self.similarity_space == "input_space":
             fut = y[:, None]  # broadcast over k
-            return autoencoder_loss(out, fut, loss_type="l1", reduction="none")  # [b,k]
+            # the reference compares with the AE's configured loss type
+            # (`autoencoder.py:80-81`), not a fixed L1
+            return autoencoder_loss(
+                out, fut, loss_type=self.autoencoder.loss_pose_type, reduction="none"
+            )  # [b,k]
         # metric_space: mean-over-time norm in metric coordinates
         out_m = self.skeleton.transform_to_metric_space(out).reshape(b, k, out.shape[2], -1)
         fut_m = self.skeleton.transform_to_metric_space(y).reshape(b, 1, y.shape[1], -1)
         return jnp.linalg.norm(out_m - fut_m, axis=-1).mean(axis=-1)
 
-    def loss(self, params, rng, x, y, z, z_past):
-        """k-best relaxed diffusion loss; reference `trainer.py:207-234`."""
+    def loss(self, params, rng, x, y, z, z_past, t=None, noise=None):
+        """k-best relaxed diffusion loss; reference `trainer.py:207-234`.
+        ``t``/``noise``: optional injected timesteps/white noise (the
+        cross-implementation training-objective parity test pins this whole
+        composition against the reference's torch code on shared weights)."""
         b = z.shape[0]
         loss, diff_weights, samples = self.diffusion.loss(
-            params, rng, z, x_cond=z_past, n_train_samples=self.k
+            params, rng, z, x_cond=z_past, n_train_samples=self.k,
+            t=t, noise=noise,
         )
         if self.k > 1:
             if self.similarity_space == "latent_space":
