@@ -25,8 +25,17 @@ Array = jnp.ndarray
 
 def l1_normalize_rows(g: Array, eps: float = 1e-12) -> Array:
     """torch F.normalize(p=1, dim=1): divide each row by max(‖row‖₁, eps)
-    (`graph_structural.py:30-32`)."""
-    norm = jnp.clip(jnp.sum(jnp.abs(g), axis=1, keepdims=True), eps, None)
+    (`graph_structural.py:30-32`).
+
+    ``g * sign(g)`` instead of ``abs(g)``: same value, but its gradient is
+    ``sign(g)`` with sign(0)=0 — torch's abs subgradient.  jnp.abs picks
+    subgradient 1 at 0, and EVERY off-diagonal entry of a fresh
+    identity-initialized G sits exactly at that kink, so the choice changes
+    the whole G gradient at init (verified vs finite differences, which side
+    with torch); training trajectories would diverge from the reference's
+    from step one."""
+    abs_g = g * jnp.sign(g)
+    norm = jnp.clip(jnp.sum(abs_g, axis=1, keepdims=True), eps, None)
     return g / norm
 
 

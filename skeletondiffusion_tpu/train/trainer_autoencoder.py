@@ -29,6 +29,51 @@ class AETrainState(NamedTuple):
     step: jnp.ndarray
 
 
+class _AmsgradTorchState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+    nu_max: Any
+
+
+def scale_by_amsgrad_torch(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """AMSGrad with torch.optim's exact semantics: max over the RAW second
+    moment, bias-correct afterwards (``max_exp_avg_sq`` then
+    ``sqrt(max_exp_avg_sq / bias_correction2)``).
+
+    optax.scale_by_amsgrad instead maxes the bias-CORRECTED estimate; early
+    in training the correction factor 1/(1-b2^t) inflates step-1's ν̂ far
+    above later steps', so optax's running max stays pinned there and its
+    denominators systematically exceed torch's — trajectories diverge from
+    the reference within 2 steps (pinned by
+    tests/test_train_objective_parity.py::test_stage1_optimizer_trajectory)."""
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return _AmsgradTorchState(
+            count=jnp.zeros([], jnp.int32), mu=zeros,
+            nu=jax.tree.map(jnp.zeros_like, params),
+            nu_max=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g, updates, state.mu)
+        nu = jax.tree.map(lambda g, v: b2 * v + (1 - b2) * g * g, updates, state.nu)
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max
+        )
+        return out, _AmsgradTorchState(count=count, mu=mu, nu=nu, nu_max=nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 class AutoEncoderTrainer:
     def __init__(
         self,
@@ -67,7 +112,7 @@ class AutoEncoderTrainer:
             make_lr_scheduler(lr=lr, **(lr_scheduler_kwargs or {})) if use_lr_scheduler else None
         )
         tx = [optax.clip_by_global_norm(clip_grad_norm)] if clip_grad_norm else []
-        tx += [optax.scale_by_amsgrad(), optax.add_decayed_weights(weight_decay)]
+        tx += [scale_by_amsgrad_torch(), optax.add_decayed_weights(weight_decay)]
         self.tx = optax.chain(*tx)
         self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_val = jax.jit(self._validation_step)

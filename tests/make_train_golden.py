@@ -110,6 +110,10 @@ def main():
         },
     )
     diffusion = manager.get_diffusion().eval()
+    # snapshot NOW: the optimizer-trajectory section below mutates the
+    # denoiser in place, and the loss goldens are computed with these weights
+    den_sd0 = {k: v.detach().cpu().numpy().copy()
+               for k, v in diffusion.model.state_dict().items()}
 
     # seed chosen so the k-best argmin picks a DIVERSE index per item in all
     # three similarity spaces (a degenerate all-zeros argmin would hide
@@ -176,6 +180,85 @@ def main():
                 golden[f"train_loss_k{k}_{space}"] = np.float64(final.item())
                 print(f"stage2 k={k} {space}: loss={final.item():.8f}")
 
+    # ---- optimizer trajectories (3 steps each; reference train_step math:
+    # backward → clip_grad_norm_(1.0) → step) ---------------------------------
+    STEPS = 3
+    CLIP2, CLIP1 = 0.02, 0.2
+    t_steps = rng.integers(0, T_DIFF, size=(STEPS, B)).astype(np.int64)
+    noise_steps = rng.standard_normal((STEPS, B * K, N, LATENT)).astype(np.float32)
+    golden["opt_t_steps"] = t_steps
+    golden["opt_noise_steps"] = noise_steps
+    golden["opt_clip2"] = np.asarray(CLIP2)
+    golden["opt_clip1"] = np.asarray(CLIP1)
+
+    # stage 2: Adam β=(0.9,0.99), COUPLED weight decay 0.01 (torch Adam adds
+    # wd·param to the grad inside step, i.e. post-clip), grad clip 1.0
+    diffusion.train()
+    opt = torch.optim.Adam(
+        diffusion.model.parameters(), lr=1e-3, betas=(0.9, 0.99), weight_decay=0.01
+    )
+    tr.similarity_space = "input_space"
+    tr.train_pick_best_sample_among_k = K
+    step_losses, step_gnorms = [], []
+    for s in range(STEPS):
+        opt.zero_grad()
+        loss_vec, diff_w, model_out = diffusion.p_losses(
+            z_t, torch.from_numpy(t_steps[s]),
+            noise=torch.from_numpy(noise_steps[s]),
+            x_cond=z_past_t, n_train_samples=K,
+        )
+        out_s, fut_s = tr.to_comparison_space_train(
+            model_out, diff_input=z_t, x_cond=z_past_t, space="input_space",
+            autoencoder=ae, past_seq=x_t, fut_seq=y_t,
+        )
+        sim_loss, _ = tr.get_ksimilarity_loss(loss_vec, out_s, fut_s, autoencoder=ae)
+        final = (sim_loss * diff_w).mean()
+        final.backward()
+        # clip threshold chosen BELOW the observed norms so the clip path is
+        # actually exercised; the returned pre-clip global norm is itself a
+        # gradient-parity pin (a scalar aggregate of EVERY gradient entry)
+        gnorm = torch.nn.utils.clip_grad_norm_(diffusion.model.parameters(), CLIP2)
+        opt.step()
+        step_losses.append(final.item())
+        step_gnorms.append(gnorm.item())
+    golden["opt_step_losses"] = np.asarray(step_losses, dtype=np.float64)
+    golden["opt_step_gnorms"] = np.asarray(step_gnorms, dtype=np.float64)
+    for kk, v in diffusion.model.state_dict().items():
+        golden[f"den_after.{kk}"] = v.detach().cpu().numpy()
+    print("stage2 opt losses:", step_losses)
+    diffusion.eval()
+
+    # stage 1: AdamW(amsgrad, torch defaults wd=1e-2 β=(0.9,0.999)), clip 1.0,
+    # fixed ph (reference trainer.py:33,93-94); reload untouched weights first
+    ae2 = AutoEncoder(
+        num_nodes=N, encoder_hidden_size=HID, decoder_hidden_size=HID,
+        latent_size=LATENT, node_types=skeleton.nodes_type_id, input_size=3,
+        z_activation="tanh", enc_num_layers=1, loss_pose_type="l1",
+        output_size=3, if_consider_hip=False,
+        recurrent_arch_enc="StaticGraphGRU",
+        recurrent_arch_decoder="StaticGraphGRU",
+    )
+    ae2.load_state_dict(ae.state_dict())
+    ae2.train()
+    opt1 = torch.optim.AdamW(ae2.parameters(), lr=5e-3, amsgrad=True)
+    PH_FIX = PRED // 2
+    ae_step_losses, ae_step_gnorms = [], []
+    for s in range(STEPS):
+        opt1.zero_grad()
+        pred, _, _ = ae2.autoencode(y_t[:, :PH_FIX], past=x_t, ph=PH_FIX)
+        loss = ae2.loss(pred, y_t[:, :PH_FIX])
+        loss.backward()
+        gnorm = torch.nn.utils.clip_grad_norm_(ae2.parameters(), CLIP1)
+        opt1.step()
+        ae_step_losses.append(loss.item())
+        ae_step_gnorms.append(gnorm.item())
+    golden["ae_opt_step_losses"] = np.asarray(ae_step_losses, dtype=np.float64)
+    golden["ae_opt_step_gnorms"] = np.asarray(ae_step_gnorms, dtype=np.float64)
+    golden["ae_opt_ph"] = np.asarray(PH_FIX)
+    for kk, v in ae2.state_dict().items():
+        golden[f"ae_after.{kk}"] = v.detach().cpu().numpy()
+    print("stage1 opt losses:", ae_step_losses)
+
     # covariance eigensystem: the injected q_sample noise is mixed through U,
     # so cross-implementation equality requires the same U on both sides
     # (same caveat as the eval capstone)
@@ -184,8 +267,8 @@ def main():
     golden["cov_U"] = diffusion.U.detach().cpu().numpy()
     for kk, v in ae.state_dict().items():
         golden[f"ae.{kk}"] = v.detach().cpu().numpy()
-    for kk, v in diffusion.model.state_dict().items():
-        golden[f"den.{kk}"] = v.detach().cpu().numpy()
+    for kk, v in den_sd0.items():
+        golden[f"den.{kk}"] = v
     golden["config_json"] = np.array(
         json.dumps(dict(
             obs=OBS, pred=PRED, num_joints=J, latent=LATENT, hidden=HID,

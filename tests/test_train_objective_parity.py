@@ -181,3 +181,113 @@ def test_stage2_kbest_loss_matches_reference(golden, cfg, models, skeleton, k, s
         sim = tr._similarity(out, z, z_past, x, y)
         idx = np.asarray(jnp.argmin(sim, axis=-1))
         np.testing.assert_array_equal(idx, golden[f"argmin_k{k}_{space}"])
+
+
+def _tree_to_arrays(params):
+    import jax
+
+    return {"/".join(map(str, p)): np.asarray(v)
+            for p, v in jax.tree_util.tree_leaves_with_path(params)}
+
+
+def test_stage2_optimizer_trajectory_matches_reference(golden, cfg, models, skeleton):
+    """3 reference train steps (backward → clip_grad_norm → Adam with COUPLED
+    L2) vs our optax chain on shared weights + injected t/noise: per-step
+    losses and pre-clip global gradient norms (a scalar aggregate of every
+    gradient entry = a direct gradient-parity pin) match tightly; final
+    parameters match to optimizer-update scale."""
+    import optax
+
+    from skeletondiffusion_tpu.train.trainer_diffusion import TrainerDiffusion
+    from skeletondiffusion_tpu.utils.torch_port import port_denoiser
+
+    ae, ae_params, diffusion, dparams = models
+    lr = 1e-3
+    tr = TrainerDiffusion(
+        diffusion, ae, ae_params,
+        train_pick_best_sample_among_k=cfg["k"], similarity_space="input_space",
+        skeleton=skeleton, if_use_ema=False, prediction_horizon_eval=cfg["pred"],
+        lr=lr, weight_decay=0.01, adam_betas=(0.9, 0.99),
+        max_grad_norm=float(golden["opt_clip2"]),
+    )
+    x, y = jnp.asarray(golden["x"]), jnp.asarray(golden["y"])
+    z_past, z = tr._embed(x, y)
+    params = jax.tree.map(jnp.asarray, dparams)
+    opt_state = tr.tx.init(params)
+    for s in range(golden["opt_t_steps"].shape[0]):
+        t_s = jnp.asarray(golden["opt_t_steps"][s])
+        n_s = jnp.asarray(golden["opt_noise_steps"][s])
+
+        def loss_fn(p):
+            return tr.loss(p, jax.random.key(0), x, y, z, z_past, t=t_s, noise=n_s)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(
+            float(loss), golden["opt_step_losses"][s], rtol=5e-4,
+            err_msg=f"step {s} loss")
+        np.testing.assert_allclose(
+            float(optax.global_norm(grads)), golden["opt_step_gnorms"][s],
+            rtol=1e-3, err_msg=f"step {s} grad norm")
+        updates, opt_state = tr.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, jax.tree.map(lambda u: -lr * u, updates))
+
+    want = _tree_to_arrays({"params": port_denoiser(
+        {k[len("den_after."):]: golden[k] for k in golden.files
+         if k.startswith("den_after.")}, depth=2)})
+    got = _tree_to_arrays(params)
+    assert want.keys() == got.keys()
+    for name in want:
+        np.testing.assert_allclose(
+            got[name], want[name], atol=3 * lr, rtol=0,
+            err_msg=f"param {name} after 3 steps")
+
+
+def test_stage1_optimizer_trajectory_matches_reference(golden, cfg, models):
+    """3 reference stage-1 steps (sliced autoencode → L1 → clip → AdamW
+    amsgrad, DECOUPLED decay) vs our masked-loss step math — also proves the
+    masked/full-rollout formulation has the SAME GRADIENTS as the
+    reference's literal slicing, not just the same loss value."""
+    import optax
+
+    from skeletondiffusion_tpu.models import AutoEncoder
+    from skeletondiffusion_tpu.train.trainer_autoencoder import AutoEncoderTrainer
+    from skeletondiffusion_tpu.utils.torch_port import port_autoencoder
+
+    ae, ae_params, _, _ = models
+    lr = 5e-3
+    ph = int(golden["ae_opt_ph"])
+    tr = AutoEncoderTrainer(
+        model=ae, lr=lr, iter_per_epoch=1,
+        prediction_horizon_train=cfg["pred"], prediction_horizon_eval=cfg["pred"],
+        clip_grad_norm=float(golden["opt_clip1"]),
+    )
+    x, y = jnp.asarray(golden["x"]), jnp.asarray(golden["y"])
+    params = jax.tree.map(jnp.asarray, ae_params)
+    opt_state = tr.tx.init(params)
+    for s in range(int(golden["ae_opt_step_losses"].shape[0])):
+        def loss_fn(p):
+            pred, _, _ = ae.apply(
+                p, y, x, ph=cfg["pred"], y_last_index=ph - 1,
+                method=AutoEncoder.autoencode,
+            )
+            return tr._masked_loss(pred, y, ph).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(
+            float(loss), golden["ae_opt_step_losses"][s], rtol=5e-4,
+            err_msg=f"step {s} loss")
+        np.testing.assert_allclose(
+            float(optax.global_norm(grads)), golden["ae_opt_step_gnorms"][s],
+            rtol=1e-3, err_msg=f"step {s} grad norm")
+        updates, opt_state = tr.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, jax.tree.map(lambda u: -lr * u, updates))
+
+    want = _tree_to_arrays({"params": port_autoencoder(
+        {k[len("ae_after."):]: golden[k] for k in golden.files
+         if k.startswith("ae_after.")})})
+    got = _tree_to_arrays(params)
+    assert want.keys() == got.keys()
+    for name in want:
+        np.testing.assert_allclose(
+            got[name], want[name], atol=3 * lr, rtol=0,
+            err_msg=f"param {name} after 3 steps")
