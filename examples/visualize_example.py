@@ -32,7 +32,6 @@ def main():
                    help="extra config overrides, e.g. task.history_sec=0.1")
     args = p.parse_args()
 
-    from skeletondiffusion_tpu.data import DATASET_CLASSES
     from skeletondiffusion_tpu.inference import InferenceSession
     from skeletondiffusion_tpu.metrics.ranking import get_closest_and_nfurthest_maxapd
     from skeletondiffusion_tpu.utils.plot import animate_prediction_grid
@@ -44,24 +43,13 @@ def main():
     sk = session.skeleton
     cfg = session.cfg
 
-    # folders come resolved from the config tree (h36m lives under
-    # Human36M/, not a name-mangled guess)
-    folder = cfg["precomputed_folder"]
-    ann = cfg["annotations_folder"]
-    ds_cls = DATASET_CLASSES[cfg["dataset_type"]]
-    dataset = ds_cls(
-        datasets=cfg["data_loader_test"].get("datasets"),
-        split="test", precomputed_folder=folder, skeleton=sk,
-        obs_length=sk.obs_length, pred_length=sk.pred_length,
-        segments_path=os.path.join(ann, "segments_test.csv"),
-        if_consider_hip=cfg["if_consider_hip"], silent=True,
-    ) if cfg["dataset_type"] == "AMASSDataset" else ds_cls(
-        split="test", precomputed_folder=folder, skeleton=sk,
-        obs_length=sk.obs_length, pred_length=sk.pred_length,
-        segments_path=os.path.join(ann, "segments_test.csv"),
-        if_consider_hip=cfg["if_consider_hip"], silent=True,
-        annotations_folder=ann,
-    )
+    # same per-dataset construction as the eval CLI: folders come resolved
+    # from the config tree (h36m lives under Human36M/), and the per-dataset
+    # kwargs (H36M subjects, FreeMan annotation files, 3DPW zero-shot) are
+    # handled exactly as eval.py handles them
+    from skeletondiffusion_tpu.cli.common import build_dataset
+
+    dataset = build_dataset(cfg, sk, "test", "data_loader_test")
 
     obs_raw, target_raw, extra = dataset[args.index]
     print("segment:", dataset.unique_sample_string(extra))

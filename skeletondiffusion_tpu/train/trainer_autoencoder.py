@@ -33,7 +33,12 @@ class _AmsgradTorchState(NamedTuple):
     count: jnp.ndarray
     mu: Any
     nu: Any
-    nu_max: Any
+    # named nu_max_raw (not nu_max) ON PURPOSE: optax.ScaleByAmsgradState's
+    # nu_max holds the max of BIAS-CORRECTED estimates — structurally
+    # identical but numerically incompatible.  The distinct field name makes
+    # restoring a pre-change checkpoint fail loudly instead of silently
+    # resuming with double-corrected denominators.
+    nu_max_raw: Any
 
 
 def scale_by_amsgrad_torch(
@@ -51,25 +56,29 @@ def scale_by_amsgrad_torch(
     tests/test_train_objective_parity.py::test_stage1_optimizer_trajectory)."""
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
+        # three DISTINCT zero trees: the train step donates the optimizer
+        # state, and a shared buffer appearing in multiple donated leaves is
+        # a runtime error ("attempt to donate the same buffer twice")
+        def zeros():
+            return jax.tree.map(jnp.zeros_like, params)
+
         return _AmsgradTorchState(
-            count=jnp.zeros([], jnp.int32), mu=zeros,
-            nu=jax.tree.map(jnp.zeros_like, params),
-            nu_max=jax.tree.map(jnp.zeros_like, params),
+            count=jnp.zeros([], jnp.int32), mu=zeros(), nu=zeros(),
+            nu_max_raw=zeros(),
         )
 
     def update_fn(updates, state, params=None):
         del params
         mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g, updates, state.mu)
         nu = jax.tree.map(lambda g, v: b2 * v + (1 - b2) * g * g, updates, state.nu)
-        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max_raw, nu)
         count = state.count + 1
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
         out = jax.tree.map(
             lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max
         )
-        return out, _AmsgradTorchState(count=count, mu=mu, nu=nu, nu_max=nu_max)
+        return out, _AmsgradTorchState(count=count, mu=mu, nu=nu, nu_max_raw=nu_max)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

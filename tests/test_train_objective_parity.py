@@ -127,7 +127,6 @@ def test_stage1_curriculum_loss_matches_reference(golden, cfg, models):
 
 
 def test_stage2_embeddings_match_reference(golden, models):
-    _, ae_params, diffusion, _ = models
     from skeletondiffusion_tpu.train.trainer_diffusion import TrainerDiffusion
 
     ae, ae_params, diffusion, dparams = models
