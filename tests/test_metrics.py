@@ -112,3 +112,27 @@ def test_ranking_all_samples_requested():
     # and the usual sub-S request still works
     _, d3, i3 = get_closest_and_nfurthest_maxapd(pred, target, nsamples=3)
     assert d3.shape[0] == 3 and len(set(i3.tolist())) == 3
+
+
+def test_stats_mode_metric_names_match_reference():
+    """Per-mode metric-name sets ≡ reference `config_metrics.py:30-52`
+    (deterministic / probabilistic / probabilistic_orig), including order."""
+    from skeletondiffusion_tpu.metrics.suite import get_stats_funcs
+    from skeletondiffusion_tpu.skeleton import create_skeleton
+
+    sk = create_skeleton(
+        dataset_name="amass", motion_repr_type="SkeletonRescalePose",
+        num_joints=22, pose_box_size=1.5, obs_length=5, pred_length=10,
+        if_consider_hip=False,
+    )
+    want = {
+        "deterministic": ["ADE", "FDE", "MAE", "APD", "StretchMean",
+                          "JitterMean", "StretchRMSE", "JitterRMSE"],
+        "probabilistic_orig": ["APD", "ADE", "FDE", "MMADE", "MMFDE"],
+        "probabilistic": ["ADE", "FDE", "MAE", "MMADE", "MMFDE", "APD",
+                          "StretchMean", "JitterMean", "StretchRMSE",
+                          "JitterRMSE"],
+    }
+    for mode, names in want.items():
+        got = list(get_stats_funcs(mode, sk).keys())
+        assert got == names, (mode, got)
