@@ -271,3 +271,23 @@ def test_long_term_eval_runs(env):
         pred_length=PRED,
     )
     assert np.isfinite(results["ADE"])
+
+
+def test_eval_probabilistic_orig_runs(env):
+    """The reference's third stats_mode (`config_metrics.py:38-41`: the
+    5-metric APD/ADE/FDE/MMADE/MMFDE set) runs through compute_metrics and
+    agrees with the full probabilistic mode on the shared metrics under the
+    same seed."""
+    root, skeleton, dataset = env
+    ae, ae_params, diffusion, dparams = _models(skeleton)
+    predictor = SkeletonDiffusionPredictor(
+        skeleton, ae, ae_params, diffusion, dparams, num_samples=4, pred_length=PRED,
+    )
+    kw = dict(batch_size=8, num_samples=4, seed=11)
+    orig = compute_metrics(predictor, dataset, skeleton,
+                           stats_mode="probabilistic_orig", **kw)
+    assert set(orig) == {"APD", "ADE", "FDE", "MMADE", "MMFDE"}, orig
+    full = compute_metrics(predictor, dataset, skeleton,
+                           stats_mode="probabilistic", **kw)
+    for key in orig:
+        np.testing.assert_allclose(orig[key], full[key], rtol=1e-5, err_msg=key)
