@@ -107,3 +107,18 @@ def setup_mesh(cfg: Dict[str, Any]):
     if n <= 1:
         return None
     return create_mesh(n, model_parallel=mesh_cfg.get("model_parallel", 1))
+
+
+# the stored-config keys create_diffusion consumes — ONE list shared by the
+# train and eval CLIs so a new key can't silently reach only one of them
+# (a drifted copy means eval reconstructs the process with a default that
+# differs from training: a checkpoint-true violation with no error)
+DIFFUSION_CFG_KEYS = (
+    "diffusion_type", "covariance_matrix_type", "reachability_matrix_degree_factor",
+    "reachability_matrix_stop_at", "if_sigma_n_scale", "sigma_n_scale",
+    "if_run_as_isotropic", "diffusion_conditioning", "diffusion_timesteps",
+    "diffusion_objective", "beta_schedule", "beta_schedule_factor",
+    "diffusion_covariance_type", "gamma_scheduler", "loss_reduction_type",
+    "diffusion_loss_type", "diffusion_activation", "diffusion_arch",
+    "sampling_timesteps", "ddim_sampling_eta", "compute_dtype", "remat_denoiser",
+)

@@ -57,17 +57,10 @@ def prepare_model(cfg: Dict, skeleton):
     stored experiment config (see ``merge_experiment_cfg``)."""
     exp_dir = cfg["checkpoint_path"]
     autoencoder, ae_params = load_frozen_autoencoder(cfg, skeleton)
+    from .common import DIFFUSION_CFG_KEYS
+
     diffusion, denoiser = create_diffusion(skeleton, latent_size=cfg["latent_size"], **{
-        k: v for k, v in cfg.items()
-        if k in (
-            "diffusion_type", "covariance_matrix_type", "reachability_matrix_degree_factor",
-            "reachability_matrix_stop_at", "if_sigma_n_scale", "sigma_n_scale",
-            "if_run_as_isotropic", "diffusion_conditioning", "diffusion_timesteps",
-            "diffusion_objective", "beta_schedule", "beta_schedule_factor",
-            "diffusion_covariance_type", "gamma_scheduler", "loss_reduction_type",
-            "diffusion_loss_type", "diffusion_activation", "diffusion_arch",
-            "sampling_timesteps", "ddim_sampling_eta", "compute_dtype",
-        )
+        k: v for k, v in cfg.items() if k in DIFFUSION_CFG_KEYS
     })
     import jax.numpy as jnp
 

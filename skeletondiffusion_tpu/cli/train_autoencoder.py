@@ -76,7 +76,14 @@ def train(cfg: Dict) -> str:
     )
 
     # init from one example batch
-    ex = next(iter(loader))
+    try:
+        ex = next(iter(loader))
+    except StopIteration:
+        raise ValueError(
+            f"train loader yields zero batches: {len(dataset)} segments < "
+            f"batch_size {cfg['batch_size']} with drop_last — reduce "
+            "model.batch_size or enlarge the dataset"
+        ) from None
     k0 = jax.random.fold_in(root_key, 2**31)
     ex_obs, ex_pred, _ = preprocess(k0, ex["obs"], ex["pred"])
     state = trainer.init(jax.random.fold_in(root_key, 0), ex_obs, ex_pred)
@@ -112,6 +119,7 @@ def train(cfg: Dict) -> str:
     it_global = resumed_step if resumed_step is not None else (
         (start_epoch - 1) * iter_per_epoch
     )
+    eval_datasets = {}  # built once, reused every validation epoch
     for epoch in range(start_epoch, cfg["num_epochs"] + 1):
         trainer.epoch_started(epoch)
         ek = epoch_key(root_key, epoch)
@@ -157,12 +165,13 @@ def train(cfg: Dict) -> str:
         if cfg.get("if_run_validation") and epoch % cfg.get(
             "eval_frequency", cfg.get("save_frequency", 50)
         ) == 0:
-            score = -validate(cfg, skeleton, trainer, state, logger, epoch)
+            score = -validate(cfg, skeleton, trainer, state, logger, epoch,
+                              dataset_cache=eval_datasets)
             validate(
                 cfg, skeleton, trainer, state, logger, epoch,
                 split="train", loader_key="data_loader_train_eval",
                 max_batches=cfg.get("num_iteration_eval") or None,
-                prefix="train_eval",
+                prefix="train_eval", dataset_cache=eval_datasets,
             )
         if score is not None or epoch % cfg.get("save_frequency", 50) == 0 or epoch == cfg["num_epochs"]:
             ckpt.save(state, step=epoch, score=score)
@@ -182,13 +191,21 @@ def train(cfg: Dict) -> str:
 
 
 def validate(cfg, skeleton, trainer, state, logger, epoch, split="valid",
-             loader_key="data_loader_valid", max_batches=None, prefix="valid") -> float:
+             loader_key="data_loader_valid", max_batches=None, prefix="valid",
+             dataset_cache=None) -> float:
     """ADE/FDE/MPJPE on a split (metric space, S=1); reference
     `src/train_utils.py:56-96` (same engine attached to the valid split and,
-    capped at ``num_iteration_eval`` batches, to the train split)."""
+    capped at ``num_iteration_eval`` batches, to the train split).
+    ``dataset_cache``: per-run dict so the eval datasets (full npz re-read +
+    segment generation) are built once, not on every validation epoch."""
     if loader_key not in cfg:
         loader_key = "data_loader_valid"
-    dataset = build_dataset(cfg, skeleton, split, loader_key)
+    if dataset_cache is not None and (split, loader_key) in dataset_cache:
+        dataset = dataset_cache[(split, loader_key)]
+    else:
+        dataset = build_dataset(cfg, skeleton, split, loader_key)
+        if dataset_cache is not None:
+            dataset_cache[(split, loader_key)] = dataset
     loader = DataLoader(dataset, cfg["batch_size_eval"], shuffle=False)
     preprocess = make_eval_preprocess(skeleton)
     vals = {"ADE": [], "FDE": [], "MPJPE": []}

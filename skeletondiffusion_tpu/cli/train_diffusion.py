@@ -86,17 +86,10 @@ def train(cfg: Dict) -> str:
     preprocess = make_train_preprocess(skeleton, cfg["data_loader_train"])
 
     autoencoder, ae_params = load_frozen_autoencoder(cfg, skeleton)
+    from .common import DIFFUSION_CFG_KEYS
+
     diffusion, denoiser = create_diffusion(skeleton, latent_size=cfg["latent_size"], **{
-        k: v for k, v in cfg.items()
-        if k in (
-            "diffusion_type", "covariance_matrix_type", "reachability_matrix_degree_factor",
-            "reachability_matrix_stop_at", "if_sigma_n_scale", "sigma_n_scale",
-            "if_run_as_isotropic", "diffusion_conditioning", "diffusion_timesteps",
-            "diffusion_objective", "beta_schedule", "beta_schedule_factor",
-            "diffusion_covariance_type", "gamma_scheduler", "loss_reduction_type",
-            "diffusion_loss_type", "diffusion_activation", "diffusion_arch",
-            "sampling_timesteps", "ddim_sampling_eta", "compute_dtype", "remat_denoiser",
-        )
+        k: v for k, v in cfg.items() if k in DIFFUSION_CFG_KEYS
     })
 
     trainer = TrainerDiffusion(
@@ -155,6 +148,7 @@ def train(cfg: Dict) -> str:
     it_global = resumed_step if resumed_step is not None else (
         (start_epoch - 1) * iter_per_epoch
     )
+    eval_datasets = {}  # built once, reused every validation epoch
     for epoch in range(start_epoch, cfg["num_epochs"] + 1):
         trainer.epoch_started(epoch)
         ek = epoch_key(root_key, epoch)
@@ -193,12 +187,13 @@ def train(cfg: Dict) -> str:
         # (`train_diffusion.py:113-120`, `src/train_utils.py:97-137`)
         score = None
         if cfg.get("if_run_validation") and epoch % cfg.get("eval_frequency", 25) == 0:
-            score = -validate(cfg, skeleton, trainer, state, logger, epoch)
+            score = -validate(cfg, skeleton, trainer, state, logger, epoch,
+                              dataset_cache=eval_datasets)
             validate(
                 cfg, skeleton, trainer, state, logger, epoch,
                 split="train", loader_key="data_loader_train_eval",
                 max_batches=cfg.get("num_iteration_eval") or None,
-                prefix="train_eval",
+                prefix="train_eval", dataset_cache=eval_datasets,
             )
         if score is not None or epoch == cfg["num_epochs"]:
             ckpt.save(state, step=epoch, score=score)
@@ -219,14 +214,21 @@ def train(cfg: Dict) -> str:
 
 
 def validate(cfg, skeleton, trainer, state, logger, epoch, split="valid",
-             loader_key="data_loader_valid", max_batches=None, prefix="valid") -> float:
+             loader_key="data_loader_valid", max_batches=None, prefix="valid",
+             dataset_cache=None) -> float:
     """Sample 50 with the EMA model, decode, APD/ADE/MPJPE on a split;
     reference `src/train_utils.py:97-137` (same engine attached to the valid
     split and, capped at ``num_iteration_eval`` batches, to the train
-    split)."""
+    split).  ``dataset_cache``: per-run dict so the eval datasets (full npz
+    re-read + segment generation) are built once, not every validation."""
     if loader_key not in cfg:
         loader_key = "data_loader_valid"
-    dataset = build_dataset(cfg, skeleton, split, loader_key)
+    if dataset_cache is not None and (split, loader_key) in dataset_cache:
+        dataset = dataset_cache[(split, loader_key)]
+    else:
+        dataset = build_dataset(cfg, skeleton, split, loader_key)
+        if dataset_cache is not None:
+            dataset_cache[(split, loader_key)] = dataset
     loader = DataLoader(dataset, cfg["batch_size_eval"], shuffle=False)
     preprocess = make_eval_preprocess(skeleton)
     vals = {"ADE": [], "APD": [], "MPJPE": [], "LLVar": []}

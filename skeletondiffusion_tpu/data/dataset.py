@@ -350,6 +350,15 @@ class MotionDataset(BaseDataset):
     def extract_action_label(self, extra) -> str:
         return extra["metadata"][self.metadata_class_idx]
 
+    # NOTE: the augmentation/noise attributes stored above (da_mirroring,
+    # da_rotations, if_noisy_obs, noise_level, noise_std) and the
+    # eval()/train() toggles mirror the reference dataset's API
+    # (`base_dataset.py`), where augmentation runs inside __getitem__.  Here
+    # augmentation/noise run DEVICE-SIDE in the jitted preprocess
+    # (data/batch.py; wired from config by cli/common.make_train_preprocess
+    # and compute_metrics kwargs) — these fields record the configuration on
+    # the dataset for API parity and inspection, but setting them after
+    # construction does not change the compiled preprocess.
     def eval(self):
         self.in_eval = True
 

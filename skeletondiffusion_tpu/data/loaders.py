@@ -200,7 +200,17 @@ class FreeManDataset(MotionDataset):
     def _read_all_annotations(self, actions, seqs):
         path = os.path.join(self.precomputed_folder, "data_3d_freeman.npz")
         data_o = np.load(path, allow_pickle=True)["positions_3d"].item()
-        data_f = {key: data_o[key] for key in seqs if key in data_o}
+        # fail loudly on split-file sequences missing from the npz (reference
+        # `freeman.py:56` KeyErrors): silently dropping them would shrink the
+        # split and mask data-preparation errors
+        missing = [key for key in seqs if key not in data_o]
+        if missing:
+            raise KeyError(
+                f"{len(missing)} sequences from the {self.split}.txt split file "
+                f"are missing from data_3d_freeman.npz (first: {missing[:5]}); "
+                "re-run the FreeMan preprocessing"
+            )
+        data_f = {key: data_o[key] for key in seqs}
         # labels restricted to the LOADED sequences, classes in insertion
         # order (reference `freeman.py:58-79`): idx_to_class must only name
         # classes present in this split or the mean_motion_test.txt lookup

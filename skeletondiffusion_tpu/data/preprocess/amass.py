@@ -94,6 +94,11 @@ def create_amass_npz(
     datasets = sorted(os.listdir(input_dir))
     for ds_entry in datasets:
         ds_path = os.path.join(input_dir, ds_entry)
+        # skip stray non-archive files (README, .DS_Store, …): a
+        # tarfile.ReadError hours into a multi-dataset run is not acceptable
+        if not os.path.isdir(ds_path) and not tarfile.is_tarfile(ds_path):
+            print(f"skipping non-archive entry {ds_entry}")
+            continue
         ds_name = ds_entry.replace(".tar.bz2", "")
         file_idx = 0
         out: Dict[int, np.ndarray] = {}

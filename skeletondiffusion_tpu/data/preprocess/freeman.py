@@ -55,6 +55,17 @@ def create_freeman_npz(dataset_folder: str, annotation_folder: str, output_path:
         with open(ill_path) as f:
             illposed = ast.literal_eval(json.load(f))
 
+    # label map, used to drop too-short discarded multi-slice sequences the
+    # way the reference does (`create_freeman_dataset.py:66-73,93-97`)
+    file2action: Dict[str, str] = {}
+    labels_path = os.path.join(annotation_folder, "seq_actions_labels.txt")
+    if os.path.exists(labels_path):
+        with open(labels_path) as f:
+            for line in f:
+                name, label = line.strip().split(",")
+                file2action[name] = label
+                file2action.setdefault(name.split("_slice")[0], label)
+
     kpts_dir = os.path.join(dataset_folder, "keypoints3d")
     sequences = [
         f[: -len(".npy")] for f in sorted(os.listdir(kpts_dir))
@@ -65,10 +76,18 @@ def create_freeman_npz(dataset_folder: str, annotation_folder: str, output_path:
         raw = np.load(os.path.join(kpts_dir, seq + ".npy"))
         if raw.ndim == 4:  # [1,T,17,3]
             raw = raw[0]
-        slices, starts = remove_illposed_frames(seq, raw, illposed)
-        for sl, start in zip(slices, starts):
-            name = seq if len(slices) == 1 and start == 0 else f"{seq}_slice{start}"
-            output[name] = preprocess_kpts(sl).astype(np.float32)
+        slices, _ = remove_illposed_frames(seq, raw, illposed)
+        # npz key naming MUST match the shipped annotation/split files:
+        # a single slice keeps the plain sequence name even when trimmed
+        # (reference `create_freeman_dataset.py:26-28,100-102`); multiple
+        # slices get a 1-BASED _slice{i} suffix (`:93`), and slices of
+        # unlabeled (too-short discarded) sequences are dropped (`:95-97`)
+        if len(slices) == 1:
+            output[seq] = preprocess_kpts(slices[0]).astype(np.float32)
+        else:
+            for i, sl in enumerate(slices):
+                if not file2action or seq in file2action:
+                    output[f"{seq}_slice{i + 1}"] = preprocess_kpts(sl).astype(np.float32)
     from .common import save_positions_npz
 
     save_positions_npz(output_path, output)

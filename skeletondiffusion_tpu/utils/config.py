@@ -53,10 +53,18 @@ def _find_interp(s: str):
     if start < 0:
         return None
     depth = 0
+    quote = None  # braces inside quoted ${eval:"..."} bodies are literal
     for i in range(start, len(s)):
-        if s.startswith("${", i):
+        c = s[i]
+        if quote is not None:
+            if c == quote:
+                quote = None
+            continue
+        if c in ("'", '"'):
+            quote = c
+        elif s.startswith("${", i):
             depth += 1
-        elif s[i] == "}":
+        elif c == "}":
             depth -= 1
             if depth == 0:
                 return start, i + 1, s[start + 2 : i]
@@ -199,7 +207,7 @@ def snapshot_code(out_dir: str):
         if rev.returncode == 0:
             with open(os.path.join(out_dir, "git_revision.txt"), "w") as f:
                 f.write(rev.stdout)
-    except OSError:
+    except (OSError, subprocess.TimeoutExpired):
         pass  # snapshotting must never break training
 
 

@@ -16,6 +16,12 @@ class ResultStorer:
         self.out_dir = out_dir
         self.store_gt = store_gt
         os.makedirs(out_dir, exist_ok=True)
+        # a re-run into the same dir must not leave a previous (longer)
+        # run's tail shards behind: load() concatenates every shard_* file,
+        # so stale leftovers would silently mix two runs' predictions
+        for name in os.listdir(out_dir):
+            if name.startswith("shard_") and name.endswith((".npz", ".yaml")):
+                os.remove(os.path.join(out_dir, name))
         self._shard = 0
 
     def append(self, pred: np.ndarray, obs: Optional[np.ndarray] = None,

@@ -208,3 +208,37 @@ def test_result_storer_roundtrip(tmp_path):
     np.testing.assert_array_equal(arrays["obs"], np.concatenate([obs, obs[:2]]))
     np.testing.assert_array_equal(arrays["target"], np.concatenate([tgt, tgt[:2]]))
     assert cfg == {"dataset": "amass", "num_samples": 50}
+
+
+def test_result_storer_rerun_removes_stale_shards(tmp_path):
+    """Re-initializing a storer over an existing out_dir must remove the
+    previous run's shards — load() concatenates every shard_* file, so a
+    shorter re-run would otherwise silently mix two runs' predictions."""
+    import numpy as np
+
+    from skeletondiffusion_tpu.utils.store import ResultStorer
+
+    out = str(tmp_path / "preds")
+    st = ResultStorer(out)
+    for _ in range(3):
+        st.append(np.zeros((2, 1, 4, 3, 3), np.float32))
+    st.finalize({"run": 1})
+    st2 = ResultStorer(out)
+    st2.append(np.ones((2, 1, 4, 3, 3), np.float32))
+    st2.finalize({"run": 2})
+    arrays, config = ResultStorer.load(out)
+    assert arrays["pred"].shape[0] == 2 and (arrays["pred"] == 1).all()
+    assert config["run"] == 2
+
+
+def test_interpolation_handles_braces_inside_quoted_eval():
+    """A '}' inside a quoted ${eval:"..."} body (dict literal, format spec)
+    is literal, not an interpolation close."""
+    from skeletondiffusion_tpu.utils.config import _interpolate_str
+
+    # the string-level helper stringifies; the span must cover the full body
+    assert _interpolate_str("${eval:\"{'x': 2}['x']\"}", {}) == "2"
+    # nested interpolation inside the quoted body still resolves
+    assert _interpolate_str(
+        "${eval:\"'${name}.csv' if True else {'k': 1}\"}", {"name": "seg"}
+    ) == "seg.csv"

@@ -117,3 +117,38 @@ def test_h36m_npz_creation_semantics(tmp_path, rng):
     # written file round-trips through the loader-side format
     stored = np.load(out, allow_pickle=True)["positions_3d"].item()
     np.testing.assert_array_equal(stored["S9"]["WalkDog_1"], result["S9"]["WalkDog_1"])
+
+
+def test_freeman_slice_naming_matches_reference(tmp_path, rng):
+    """npz key naming for ill-posed slices ≡ reference
+    `create_freeman_dataset.py:91-103`: plain name for a single (even
+    trimmed) slice, 1-BASED `_slice{i}` suffix for multi-slice, unlabeled
+    multi-slice sequences dropped — the shipped annotation/split files
+    reference exactly these names."""
+    import json
+    import os
+
+    from skeletondiffusion_tpu.data.preprocess.freeman import create_freeman_npz
+
+    root = tmp_path / "freeman"
+    (root / "keypoints3d").mkdir(parents=True)
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    T = 40
+    for seq in ("seqA", "seqB", "seqC", "seqD"):
+        np.save(root / "keypoints3d" / f"{seq}.npy",
+                rng.standard_normal((1, T, 17, 3)).astype(np.float32))
+    (root / "ignore_list.txt").write_text("")
+    illposed = {"seqB": [[5, 30]],              # single trimmed slice
+                "seqC": [[0, 12], [20, 40]],    # two slices, labeled
+                "seqD": [[0, 10], [15, 25]]}    # two slices, UNLABELED
+    with open(ann / "illlposed_slices_idxs.json", "w") as f:
+        json.dump(str(illposed), f)
+    (ann / "seq_actions_labels.txt").write_text(
+        "seqA,walk\nseqB,jump\nseqC_slice1,run\nseqC_slice2,run\n"
+    )
+    out = create_freeman_npz(str(root), str(ann), str(tmp_path / "data_3d_freeman.npz"))
+    assert set(out.keys()) == {"seqA", "seqB", "seqC_slice1", "seqC_slice2"}, out.keys()
+    assert out["seqB"].shape[0] == 25          # trimmed but plain-named
+    assert out["seqC_slice1"].shape[0] == 12
+    assert out["seqC_slice2"].shape[0] == 20
