@@ -24,21 +24,20 @@ def dim_null_space(matrix: np.ndarray) -> int:
 
 
 def is_positive_def(matrix: np.ndarray) -> bool:
-    """Reference `utils.py:10-17`."""
+    """Reference `utils.py:10-17`.  ``eigvalsh`` (the matrix is asserted
+    symmetric): exact real spectrum — the reference's general ``eigvals``
+    can emit spurious tiny imaginary parts on symmetric input, which its
+    realness check would then reject for a perfectly valid matrix."""
     assert np.allclose(matrix, matrix.swapaxes(-1, -2)), "Matrix must be symmetric"
-    eigenvalues = np.linalg.eigvals(matrix)
-    pos = bool((np.real(eigenvalues) > 0).all())
-    if pos:
-        assert np.isreal(eigenvalues).all(), "Eigenvalues must be real"
-    return pos
+    return bool((np.linalg.eigvalsh(matrix) > 0).all())
 
 
 def make_positive_definite(matrix: np.ndarray, epsilon: float = 1e-6, if_submin: bool = False) -> np.ndarray:
     """Add (spectral norm + ε)·I — or (−λ_min + ε)·I with ``if_submin`` — to
     the diagonal; reference `utils.py:19-35`."""
-    if is_positive_def(matrix):
+    eigenvalues = np.linalg.eigvalsh(matrix)
+    if bool((eigenvalues > 0).all()):
         return matrix
-    eigenvalues = np.real(np.linalg.eigvals(matrix))
     if not if_submin:
         shift = np.abs(eigenvalues).max() + epsilon
     else:

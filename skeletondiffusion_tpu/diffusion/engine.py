@@ -346,21 +346,40 @@ class GaussianDiffusion:
             return self.process.predict_noise_from_start(img, time, x_start), x_start
 
         acp = self.process.alphas_cumprod
-        for i, (time, time_next) in enumerate(time_pairs):
+        # ONE lax.scan over the S-1 noised step pairs (the denoiser is traced
+        # once, not inlined S times — same design as p_sample_loop; a Python
+        # loop here made compile time and program size scale with S, the
+        # exact reference defect the module docstring calls out).  The final
+        # pair (time_next = -1) consumes no noise and returns x̂₀ directly,
+        # so it stays outside the scan.
+        main_pairs = time_pairs[:-1]
+        times_main = np.asarray([p[0] for p in main_pairs], dtype=np.int32)
+        times_next = np.asarray([p[1] for p in main_pairs], dtype=np.int32)
+        alphas = jnp.asarray(acp)[times_main] if len(main_pairs) else jnp.zeros((0,))
+        alphas_next = jnp.asarray(acp)[times_next] if len(main_pairs) else jnp.zeros((0,))
+
+        def body(img, inputs):
+            i, time, alpha, alpha_next = inputs
             tb = jnp.full((batch,), time, dtype=jnp.int32)
             pred_noise, x_start = predictions(img, time, tb)
-            if time_next < 0:
-                img = x_start
-                continue
-            alpha, alpha_next = acp[time], acp[time_next]
             sigma = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
             c = jnp.sqrt(1 - alpha_next - sigma**2)
             if step_noise is not None:
-                noise = step_noise[:, i]
+                noise = jnp.take(step_noise, i, axis=1)
             else:
-                noise = jax.random.normal(jax.random.fold_in(rng_steps, i), img.shape, dtype=img.dtype)
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng_steps, i), img.shape, dtype=img.dtype
+                )
             img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
-        return img, start_noise
+            return img, None
+
+        xs = (jnp.arange(len(main_pairs), dtype=jnp.int32),
+              jnp.asarray(times_main), alphas, alphas_next)
+        img, _ = jax.lax.scan(body, img, xs)
+        final_time = time_pairs[-1][0]
+        tb = jnp.full((batch,), final_time, dtype=jnp.int32)
+        _, x_start = predictions(img, jnp.asarray(final_time, jnp.int32), tb)
+        return x_start, start_noise
 
     def sample(
         self,
@@ -421,8 +440,11 @@ class GaussianDiffusion:
                 x_start = jnp.clip(x_start, -1.0, 1.0)
             mean, _, log_var = self.process.q_posterior(x_start, img, t)
             noise = jax.random.normal(jax.random.fold_in(rng_steps, t), shape, dtype=img.dtype)
-            # reference indexes interpolation noise as [:, T-1-t] (`base.py:331-336`)
-            noise2 = jnp.take(noise2interpolate, T - 1 - t, axis=1)
+            # reference indexes interpolation noise as [:, T-1-t]
+            # (`base.py:331-336`); mode="clip" — the index is out of range at
+            # t=0 and jit's default FILL would produce NaN that trips
+            # jax_debug_nans even though the where() below discards it
+            noise2 = jnp.take(noise2interpolate, T - 1 - t, axis=1, mode="clip")
             scaled1 = self.process.combine_mean_var_noise(jnp.zeros_like(mean), log_var, noise)
             scaled2 = self.process.combine_mean_var_noise(jnp.zeros_like(mean), log_var, noise2)
             interp = interpolate_fn(scaled1, scaled2)

@@ -68,7 +68,6 @@ def _rollout_kernel(
     ph: int,
     num_nodes: int,
     hidden_pad: int,
-    f_out: int,
     batch_tile: int,
 ):
     N, Hp = num_nodes, hidden_pad
@@ -370,7 +369,7 @@ def gru_rollout_pallas(
         )
     else:
         kernel = functools.partial(
-            _rollout_kernel, ph=ph, num_nodes=N, hidden_pad=Hp, f_out=F_out,
+            _rollout_kernel, ph=ph, num_nodes=N, hidden_pad=Hp,
             batch_tile=batch_tile,
         )
     full3 = lambda i: (0, 0, 0)

@@ -63,7 +63,13 @@ class Kinematic:
         """Parent per joint; reference `kinematic/base.py:29-37`."""
         if mode == "original":
             return parents_from_limbseq(self.limbseq, self.num_joints)
-        return parents_from_limbseq(self.node_limbseq, self.num_nodes)
+        # normalize (min, max): FreeMan's hip triangle stores ["RHip","LHip"]
+        # = node pair [1, 0] (reference construction order, golden-pinned in
+        # node_limbseq) — the reference's own parents() crashes on it
+        # (`base.py:35` assert), so there is no upstream semantics to
+        # preserve; the smaller index is the parent like every other row
+        norm = [sorted(pair) for pair in self.node_limbseq]
+        return parents_from_limbseq(norm, self.num_nodes)
 
     @property
     def nodes_type_id(self) -> np.ndarray:

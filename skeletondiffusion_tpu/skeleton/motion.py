@@ -47,7 +47,11 @@ class MotionRepresentation:
         self.obs_length = obs_length
         self.pred_length = pred_length
         self.seq_centering = seq_centering
-        assert seq_centering < 0 or seq_centering < obs_length + pred_length
+        # negative values index back from the end of the OBSERVATION window
+        # (see _get_where_is_seq_centered); bound both directions — the old
+        # `< 0 or` form accepted any negative, silently centering on a
+        # future frame via Python wrap-around for out-of-range values
+        assert -obs_length <= seq_centering < obs_length + pred_length, seq_centering
 
     # ---- input space -----------------------------------------------------
     def _get_where_is_seq_centered(self) -> int:
