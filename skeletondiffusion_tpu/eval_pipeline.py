@@ -378,6 +378,16 @@ def compute_metrics(
                         pad_last=True, dedup_mm=True)
     rng = jax.random.key(seed)
     ph = pred_length or dataset.pred_length
+    # on the standard path the predictor rolls out its OWN pred_length; a
+    # conflicting override would silently mismatch the target length (the
+    # long-term branch below is the only consumer of ph)
+    if (not if_long_term_test and pred_length is not None
+            and getattr(predictor, "pred_length", None) not in (None, pred_length)):
+        raise ValueError(
+            f"pred_length={pred_length} conflicts with the predictor's "
+            f"pred_length={predictor.pred_length}; rebuild the predictor "
+            "or drop the override"
+        )
 
     def _transform(key, obs, pred, mm, mm_idx):
         if mm is not None and mm_idx is not None:
@@ -400,6 +410,15 @@ def compute_metrics(
         for attr in ("ae_params", "diff_params"):
             if getattr(predictor, attr, None) is not None:
                 setattr(predictor, attr, replicate(mesh, getattr(predictor, attr)))
+        if batch_size % mesh.shape["data"] != 0:
+            # the per-batch shard guard below then falls back to
+            # single-device placement for EVERY batch (pad_last keeps all
+            # batches at batch_size) — correct but silently unparallel
+            print(
+                f"compute_metrics: batch_size={batch_size} is not divisible "
+                f"by the data axis ({mesh.shape['data']}); batches will NOT "
+                "be sharded over the mesh"
+            )
 
     def drain(pending):
         """Host-side accumulator updates for an already-dispatched batch:

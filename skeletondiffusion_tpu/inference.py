@@ -21,13 +21,24 @@ from .utils.config import flatten_config, load_config
 
 def load_model_config_exp(checkpoint_path: str) -> Tuple[Dict, str]:
     """Experiment config from a checkpoint path; reference
-    `inference_utils.py:15-21`."""
-    exp_folder = checkpoint_path
-    if not os.path.isdir(exp_folder):
-        exp_folder = os.path.dirname(os.path.dirname(checkpoint_path))
-    with open(os.path.join(exp_folder, "config.yaml")) as f:
-        cfg = yaml.safe_load(f)
-    return cfg, exp_folder
+    `inference_utils.py:15-21`.
+
+    Orbax checkpoints are DIRECTORIES, so an isdir test alone cannot tell an
+    experiment folder from a checkpoint inside it: walk up until a
+    ``config.yaml`` is found (experiment dir → 0 hops, ``<exp>/checkpoints``
+    → 1, ``<exp>/checkpoints/ckpt_100`` → 2, a file inside → 3)."""
+    probe = checkpoint_path if os.path.isdir(checkpoint_path) else os.path.dirname(checkpoint_path)
+    for _ in range(4):
+        if os.path.exists(os.path.join(probe, "config.yaml")):
+            with open(os.path.join(probe, "config.yaml")) as f:
+                return yaml.safe_load(f), probe
+        parent = os.path.dirname(probe.rstrip(os.sep))
+        if parent == probe:
+            break
+        probe = parent
+    raise FileNotFoundError(
+        f"no experiment config.yaml found at or above {checkpoint_path!r}"
+    )
 
 
 def quick_cfg_for_inference(

@@ -21,7 +21,16 @@ class MetricStorer:
         self.reset()
 
     def reset(self):
-        self.cumulator = 0.0 if self.return_op != "min" else 1e6
+        # ±inf for extrema (the reference initializes 0.0/1e6,
+        # `metric_storer.py:16`, returning a never-observed 0.0 for
+        # all-negative max streams — a bug not worth reproducing; mean/avg
+        # metrics, the whole headline table, are unaffected)
+        if self.return_op == "min":
+            self.cumulator = np.inf
+        elif self.return_op == "max":
+            self.cumulator = -np.inf
+        else:
+            self.cumulator = 0.0
         self.count = 0
 
     def update(self, values: np.ndarray):
@@ -91,8 +100,14 @@ class APDEAccumulator:
         apd_values = np.asarray(apd_values, dtype=np.float64)
         b = apd_values.shape[0]
         gt = self.mmapd_gt[self.index : self.index + b]
+        if len(gt) < b:
+            raise ValueError(
+                f"mmapd_GT.csv has only {len(self.mmapd_gt)} rows but the "
+                f"eval stream has reached item {self.index + b} — wrong GT "
+                "file for this split"
+            )
         self.index += b
-        diff = np.abs(apd_values[: len(gt)] - gt)
+        diff = np.abs(apd_values - gt)
         self.cumulator += np.nansum(diff)
         self.count += int((~np.isnan(diff)).sum())
 

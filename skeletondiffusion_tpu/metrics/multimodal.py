@@ -63,6 +63,9 @@ def ade(target: Array, pred: Array, t0: int = 0, t: int = -1, reduction: str = "
     reference `multimodal.py:44-57`."""
     pred, target = _time_slice(pred, t0, t, 2), _time_slice(target, t0, t, 1)
     B, S, T = pred.shape[:3]
+    # trailing -1 folds joints×xyz; a mismatched time length whose sizes
+    # happen to divide would silently interleave frames into features
+    assert target.shape[1] == T, (target.shape, pred.shape)
     diff = pred.reshape(B, S, T, -1) - target.reshape(B, 1, T, -1)
     dist = jnp.linalg.norm(diff, axis=-1).mean(axis=-1)
     return dist.min(axis=-1) if reduction == "mean" else dist
@@ -72,6 +75,7 @@ def fde(target: Array, pred: Array, t0: int = 0, t: int = -1, reduction: str = "
     """Min-over-samples final displacement; reference `multimodal.py:60-73`."""
     pred, target = _time_slice(pred, t0, t, 2), _time_slice(target, t0, t, 1)
     B, S, T = pred.shape[:3]
+    assert target.shape[1] == T, (target.shape, pred.shape)
     diff = pred.reshape(B, S, T, -1) - target.reshape(B, 1, T, -1)
     dist = jnp.linalg.norm(diff, axis=-1)[..., -1]
     return dist.min(axis=-1) if reduction == "mean" else dist
@@ -120,6 +124,7 @@ def mmade(
     mm_gt = _time_slice(mm_gt, t0, t, 2)
     B, S, T = pred.shape[:3]
     M = mm_gt.shape[1]
+    assert mm_gt.shape[2] == T, (mm_gt.shape, pred.shape)
     p = pred.reshape(B, 1, S, T, -1)
     g = mm_gt.reshape(B, M, 1, T, -1)
     dist = jnp.linalg.norm(p - g, axis=-1).mean(axis=-1)   # [B,M,S]
@@ -136,6 +141,7 @@ def mmfde(
     mm_gt = _time_slice(mm_gt, t0, t, 2)
     B, S, T = pred.shape[:3]
     M = mm_gt.shape[1]
+    assert mm_gt.shape[2] == T, (mm_gt.shape, pred.shape)
     p = pred.reshape(B, 1, S, T, -1)
     g = mm_gt.reshape(B, M, 1, T, -1)
     dist = jnp.linalg.norm(p - g, axis=-1)[..., -1]

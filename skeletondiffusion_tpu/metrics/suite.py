@@ -96,8 +96,6 @@ class MetricSuite:
                 out[name] = fn(target, pred)
         if self.if_compute_cmd:
             out["_cmd_curve"] = motion_for_cmd(pred)
-        if self.if_compute_apde and "APD" not in out:
-            out["_apd"] = apd(pred)
         return out
 
     def compute_batch(self, pred, target, mm_gt=None, mm_mask=None):
@@ -121,7 +119,9 @@ class MetricSuite:
             assert class_idxs is not None
             self.cmd.update(vals["_cmd_curve"], class_idxs)
         if self.apde is not None:
-            self.apde.update(vals.get("_apd", vals.get("APD")))
+            # every stats mode computes APD (`get_stats_funcs`), so APDE can
+            # always difference against it
+            self.apde.update(vals["APD"])
 
     def compute(self) -> Dict[str, float]:
         results = {k: s.compute() for k, s in self.storers.items()}

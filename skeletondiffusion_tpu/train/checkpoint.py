@@ -44,6 +44,11 @@ class CheckpointManager:
         # right after training leaves .orbax-checkpoint-tmp corpses and a
         # "cannot schedule new futures after interpreter shutdown" error
         self._ckpt.wait_until_finished()
+        # re-saving the same step (crash → resume re-running an epoch) must
+        # REPLACE the stale entry: a duplicate name would later make _remove
+        # delete the shared directory while the twin entry survives in the
+        # index pointing at nothing
+        self._index = [e for e in self._index if e["name"] != name]
         self._index.append({"name": name, "step": step, "score": score})
         if score is not None:
             scored = [e for e in self._index if e["score"] is not None]

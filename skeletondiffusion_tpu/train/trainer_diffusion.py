@@ -134,7 +134,15 @@ class TrainerDiffusion:
     def _similarity(self, samples, z, z_past, x, y):
         """Per-(item,sample) similarity-to-GT in the configured space;
         reference `trainer.py:182-205`.  Runs fully under stop_gradient —
-        only the argmin index escapes."""
+        only the argmin index escapes.
+
+        ``samples`` is the raw denoiser output and is decoded as if it were
+        an x̂₀ latent — faithful to the reference, which feeds ``model_out``
+        to the decoder REGARDLESS of the diffusion objective
+        (`trainer.py:228-231`): for ``pred_x0`` (the flagship config) that
+        is exactly x̂₀; for pred_noise/pred_v the reference decodes the
+        noise/v prediction unchanged, and we reproduce that choice rather
+        than silently diverging."""
         b = z.shape[0]
         k = self.k
         if self.similarity_space == "latent_space":

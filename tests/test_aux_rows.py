@@ -242,3 +242,43 @@ def test_interpolation_handles_braces_inside_quoted_eval():
     assert _interpolate_str(
         "${eval:\"'${name}.csv' if True else {'k': 1}\"}", {"name": "seg"}
     ) == "seg.csv"
+
+
+def test_checkpoint_path_resolution_walks_up_to_config(tmp_path):
+    """load_model_config_exp resolves the experiment folder from every
+    checkpoint-path form this codebase produces: the experiment dir, its
+    checkpoints/ dir, and an Orbax checkpoint DIRECTORY inside it (isdir
+    alone cannot distinguish these — Orbax checkpoints are directories)."""
+    import yaml
+
+    from skeletondiffusion_tpu.inference import load_model_config_exp
+
+    exp = tmp_path / "exp"
+    (exp / "checkpoints" / "ckpt_5").mkdir(parents=True)
+    with open(exp / "config.yaml", "w") as f:
+        yaml.safe_dump({"latent_size": 96}, f)
+    for p in (exp, exp / "checkpoints", exp / "checkpoints" / "ckpt_5"):
+        cfg, folder = load_model_config_exp(str(p))
+        assert folder == str(exp) and cfg["latent_size"] == 96, p
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_model_config_exp(str(tmp_path / "nowhere"))
+
+
+def test_checkpoint_resave_same_step_replaces_index_entry(tmp_path):
+    """Re-saving the same step (crash -> resume re-running an epoch) must
+    REPLACE the stale index entry, not duplicate it — a duplicate name later
+    makes pruning delete the shared directory while the twin entry survives."""
+    import jax.numpy as jnp
+
+    from skeletondiffusion_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"), n_saved=2)
+    state = {"w": jnp.ones((3,))}
+    ckpt.save(state, step=50, score=0.9)
+    ckpt.save(state, step=50, score=0.5)  # resume re-ran the epoch
+    names = [e["name"] for e in ckpt._index if e["name"].startswith("ckpt")]
+    assert names == ["ckpt_50"], names
+    assert ckpt._index[-1]["score"] == 0.5
+    assert ckpt.best_path() is not None
