@@ -30,6 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 OBS, PRED, LAT, J = 30, 120, 96, 22
+# --skeleton h36m: 17 joints / 16 nodes at 0.5 s/2 s @50 fps task shapes
+# (obs 25 / pred 100), the reference's H36M protocol (~8 min RTX6000 for
+# its 5,168-segment test split, README.md:231)
+SKELETONS = {"amass": ("amass", 22, 30, 120), "h36m": ("h36m", 17, 25, 100)}
 
 
 def build_dataset(root: str, n_segments: int, skeleton):
@@ -91,6 +95,7 @@ def main():
     ap.add_argument("--samples", type=int, default=50)
     ap.add_argument("--ab", action="store_true",
                     help="also run with SKELDIFF_EVAL_PIPELINE=0 (sync drain)")
+    ap.add_argument("--skeleton", default="amass", choices=sorted(SKELETONS))
     args = ap.parse_args()
 
     from skeletondiffusion_tpu.diffusion.manager import create_diffusion
@@ -102,8 +107,10 @@ def main():
     from skeletondiffusion_tpu.skeleton import create_skeleton
     from skeletondiffusion_tpu.utils import AverageTimer
 
+    global OBS, PRED, J
+    ds_name, J, OBS, PRED = SKELETONS[args.skeleton]
     skeleton = create_skeleton(
-        dataset_name="amass", motion_repr_type="SkeletonRescalePose",
+        dataset_name=ds_name, motion_repr_type="SkeletonRescalePose",
         num_joints=J, pose_box_size=1.5, obs_length=OBS, pred_length=PRED,
         if_consider_hip=False,
     )
@@ -156,8 +163,8 @@ def main():
         # warmup pass compiles every program (persistent-cached); the modes
         # below then measure steady-state loop behavior only
         run_once("warmup")
-        report = {"segments": args.segments, "batch": args.batch,
-                  "samples": args.samples}
+        report = {"skeleton": args.skeleton, "segments": args.segments,
+                  "batch": args.batch, "samples": args.samples}
         modes = (("pipelined", "1"), ("sync", "0")) if args.ab else (("pipelined", "1"),)
         for tag, flag in modes:
             os.environ["SKELDIFF_EVAL_PIPELINE"] = flag
@@ -170,7 +177,9 @@ def main():
                 "batch_p50_s": round(p50_s, 3),
                 "total_wall_s": round(wall, 3),
                 "preds_per_sec_with_metrics": round(pps, 1),
-                "projected_amass_split_s": round(12726 / pps, 1),
+                # real test-split sizes (shipped segments_test.csv files)
+                "projected_full_split_s": round(
+                    {"amass": 12726, "h36m": 5168}[args.skeleton] / pps, 1),
                 "ADE": round(float(results.get("ADE", float("nan"))), 4),
                 "APD": round(float(results.get("APD", float("nan"))), 4),
             }
