@@ -33,7 +33,9 @@ OBS, PRED, LAT, J = 30, 120, 96, 22
 # --skeleton h36m: 17 joints / 16 nodes at 0.5 s/2 s @50 fps task shapes
 # (obs 25 / pred 100), the reference's H36M protocol (~8 min RTX6000 for
 # its 5,168-segment test split, README.md:231)
-SKELETONS = {"amass": ("amass", 22, 30, 120), "h36m": ("h36m", 17, 25, 100)}
+# freeman: 18 joints / 17 nodes @30 fps -> obs 15 / pred 60
+SKELETONS = {"amass": ("amass", 22, 30, 120), "h36m": ("h36m", 17, 25, 100),
+             "freeman": ("freeman", 18, 15, 60)}
 
 
 def build_dataset(root: str, n_segments: int, skeleton):
@@ -179,7 +181,7 @@ def main():
                 "preds_per_sec_with_metrics": round(pps, 1),
                 # real test-split sizes (shipped segments_test.csv files)
                 "projected_full_split_s": round(
-                    {"amass": 12726, "h36m": 5168}[args.skeleton] / pps, 1),
+                    {"amass": 12726, "h36m": 5168, "freeman": 11015}[args.skeleton] / pps, 1),
                 "ADE": round(float(results.get("ADE", float("nan"))), 4),
                 "APD": round(float(results.get("APD", float("nan"))), 4),
             }
