@@ -228,8 +228,19 @@ def long_term_prediction_best_every50(
     closest-to-GT, re-feed its tail; reference `eval_utils.py:44-68`.
 
     ``target_raw`` is input-space [B, ceil(f)·T, N, 3].
+
+    Best-sample selection uses the reference's per-joint norm
+    (`metrics/utils.py:22-30` via ``get_best_sample_idx``), NOT the ADE
+    norm.  Documented divergence: the reference re-feeds the selected
+    prediction in METRIC space (`eval_utils.py:63` slices the
+    post-``process_evaluation_pair`` tensor), which for RescalePose inflates
+    each round's observation by pose_box_size (×1.5 on AMASS) relative to
+    the input space the model was trained on; we re-feed the INPUT-space
+    prediction instead.  The two agree exactly for CenterPose
+    (metric ≡ input space), the configuration pinned by the golden in
+    ``tests/test_long_term.py``.
     """
-    from .metrics.multimodal import ade
+    from .metrics.multimodal import best_sample_index
 
     n_past = obs.shape[1]
     steps = math.ceil(long_term_factor)
@@ -244,8 +255,7 @@ def long_term_prediction_best_every50(
         tgt = target_raw[:, idx * pred_length : idx * pred_length + pred.shape[2]]
         tgt_m = skeleton.transform_to_metric_space(tgt)
         pred_m = skeleton.transform_to_metric_space(pred)
-        dist = ade(tgt_m, pred_m, reduction="none")
-        best = jnp.argmin(dist, axis=-1)
+        best = best_sample_index(pred_m, tgt_m)
         best_pred_m = jnp.take_along_axis(pred_m, best[:, None, None, None, None], axis=1)[:, 0]
         best_pred_in = jnp.take_along_axis(pred, best[:, None, None, None, None], axis=1)[:, 0]
         preds.append(best_pred_m)

@@ -15,6 +15,7 @@ from .fid import ClassifierForFID, fid_from_activations, port_classifier
 from .multimodal import (
     ade,
     apd,
+    best_sample_index,
     choose_best_sample,
     cmd_from_curve,
     fde,
@@ -38,7 +39,8 @@ __all__ = [
     "APDEAccumulator", "CMDAccumulator", "ClassifierForFID", "FIDAccumulator",
     "FinalDisplacementErrorMeter", "MeanPerJointPositionErrorTable",
     "format_metric_time_table",
-    "MetricStorer", "MetricSuite", "ade", "apd", "choose_best_sample",
+    "MetricStorer", "MetricSuite", "ade", "apd", "best_sample_index",
+    "choose_best_sample",
     "cmd_from_curve", "draw_table", "fde", "fid_from_activations",
     "get_closest_and_nfurthest_maxapd", "get_stats_funcs", "lat_apd",
     "limb_jitter_normed_mean", "limb_jitter_normed_rmse", "limb_length_error",

@@ -193,8 +193,19 @@ def resolve_cmd(
     return results
 
 
+def best_sample_index(pred: Array, target: Array) -> Array:
+    """Per-item index of the sample closest to GT under the reference's
+    selection norm — per-JOINT L2, mean over joints, mean over time
+    (`src/metrics/utils.py:12-30`).  NOTE this is NOT the ADE norm (which
+    folds joints×xyz into one vector before the L2, `multimodal.py:44-57`);
+    the two argmins can disagree, and the long-term recursion's feedback
+    chain depends on which one is used."""
+    dist = jnp.linalg.norm(pred - target[:, None], axis=-1)  # [B,S,T,N]
+    return jnp.argmin(dist.mean(axis=(-1, -2)), axis=-1)
+
+
 def choose_best_sample(pred: Array, target: Array) -> Array:
-    """Min-ADE sample per item; reference `src/metrics/utils.py:12-30`."""
-    dist = ade(target, pred, reduction="none")
-    idx = jnp.argmin(dist, axis=-1)
+    """Closest-to-GT sample per item; reference `src/metrics/utils.py:12-30`
+    (per-joint-norm selection, see :func:`best_sample_index`)."""
+    idx = best_sample_index(pred, target)
     return jnp.take_along_axis(pred, idx[:, None, None, None, None], axis=1)[:, 0]
