@@ -182,6 +182,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
             if_long_term_test=cfg.get("if_long_term_test", False),
             long_term_factor=cfg.get("long_term_factor", 2.5),
             long_term_strategy=cfg.get("long_term_strategy", "best_every50"),
+            long_term_refeed_space=cfg.get("long_term_refeed_space", "input"),
             pred_length=cfg.get("pred_length"),
             if_noisy_obs=cfg.get("if_noisy_obs", False),
             noise_level=cfg.get("noise_level", 0.25),

