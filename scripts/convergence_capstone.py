@@ -1,0 +1,328 @@
+"""Convergence capstone: train the full two-stage flagship to a genuinely
+good model on synthetic motion data (VERDICT r3 next-round #1).
+
+Every prior training-side proof was short-horizon (<=150 steps).  This
+script runs the real CLIs end-to-end on the procedural rigid-skeleton
+motion dataset (`skeletondiffusion_tpu.data.synthetic.
+make_synthetic_amass_motion`) at full task shapes (obs 30 / pred 120 @
+60 fps) long enough that:
+
+  (a) the flagship (k=50 motion-argmin) beats the ZeroVelocity baseline's
+      min-ADE/FDE by a wide margin on the same test split,
+  (b) APD(k=50 motion-argmin) > APD(k=50 latent-argmin) > APD(k=1) — the
+      direction of the reference's ablation (`/root/reference/README.md:
+      279-294`),
+  (c) EMA validation ADE improves across epochs with top-k checkpoint
+      rotation exercised on real validation scores,
+  (d) the LR scheduler reaches its min-lr floor and the prediction-horizon
+      curriculum fully anneals (reference `src/core/trainer.py:37-53`,
+      `src/core/utils/scheduler.py:5-50`).
+
+Output: ``docs/convergence.json`` with the full evidence trail.  Resumable:
+each phase writes a completion marker and is skipped when already done.
+
+Run (real TPU, ~1-2 h):   python scripts/convergence_capstone.py
+Smoke (CPU, minutes):     python scripts/convergence_capstone.py --smoke
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def marker(path: str) -> str:
+    return os.path.join(path, "CAPSTONE_DONE")
+
+
+def done(path: str) -> bool:
+    return os.path.exists(marker(path))
+
+
+def mark(path: str):
+    with open(marker(path), "w") as f:
+        f.write(time.strftime("%Y-%m-%dT%H:%M:%S"))
+
+
+def read_jsonl(path: str):
+    rows = []
+    if not os.path.exists(path):
+        return rows
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def run_phase(name: str, out_dir: str, fn, timings: dict):
+    if done(out_dir):
+        print(f"[capstone] {name}: already done, skipping")
+        return
+    print(f"[capstone] {name}: starting")
+    t0 = time.time()
+    fn()
+    timings[name] = round(time.time() - t0, 1)
+    mark(out_dir)
+    print(f"[capstone] {name}: done in {timings[name]} s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/capstone")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes/epochs on CPU to exercise the plumbing")
+    ap.add_argument("--out-json", default=os.path.join(REPO, "docs", "convergence.json"))
+    args = ap.parse_args()
+
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_skeldiff")
+    os.chdir(REPO)  # configs/ tree resolution
+
+    root = args.root
+    os.makedirs(root, exist_ok=True)
+    timings: dict = {}
+    t_all = time.time()
+
+    # ---- shapes / schedule ---------------------------------------------
+    if args.smoke:
+        task = ["task.history_sec=0.1", "task.prediction_horizon_sec=0.25"]
+        obs_len, pred_len = 6, 15
+        clip_len, files_per_ds, stride = 90, 4, 9
+        ae_epochs, ae_warm, diff_epochs, diff_warm = 6, 2, 6, 2
+        eval_freq, curriculum_it = 2, 2
+        arch = ["model.latent_size=16",
+                "model.autoenc_arch.encoder_hidden_size=16",
+                "model.autoenc_arch.decoder_hidden_size=16"]
+        diff_arch = ["model.diffusion_arch.depth=1",
+                     "model.diffusion_arch.attn_heads=2",
+                     "model.diffusion_arch.attn_dim_head=4",
+                     "model.diffusion_timesteps=4"]
+        k_full = 4
+        num_samples = 4
+    else:
+        task = ["task.history_sec=0.5", "task.prediction_horizon_sec=2.0"]
+        obs_len, pred_len = 30, 120
+        clip_len, files_per_ds, stride = 480, 25, 15
+        # LR floors: AE 5e-3 ->(x0.98/epoch after 10 warmup)-> 1e-4 at epoch
+        # ~204; diffusion 1e-3 -> 1e-4 at epoch ~134 (warmup 20, update 1)
+        ae_epochs, ae_warm, diff_epochs, diff_warm = 210, 10, 150, 20
+        eval_freq, curriculum_it = 10, 20
+        arch = []           # flagship: latent 96, hidden 96
+        diff_arch = []      # flagship: depth 4, heads 8, T=10
+        k_full = 50
+        num_samples = 50
+
+    # ---- phase: dataset ---------------------------------------------------
+    ds_root = os.path.join(root, "datasets")
+
+    def build_data():
+        from skeletondiffusion_tpu.data.synthetic import make_synthetic_amass_motion
+
+        make_synthetic_amass_motion(
+            root, obs_length=obs_len, pred_length=pred_len,
+            files_per_dataset=files_per_ds, clip_len=clip_len,
+            test_segment_stride=stride * 2, seed=7,
+        )
+
+    os.makedirs(ds_root, exist_ok=True)
+    run_phase("data", ds_root, build_data, timings)
+
+    common = [
+        f"dataset_main_path={ds_root}",
+        "device_mesh.n_devices=1",
+        *task,
+    ]
+    train_data = [
+        "dataset.data_loader_train.datasets=[ACCAD, CMU, BMLmovi, KIT]",
+        f"dataset.data_loader_train.stride={stride}",
+        f"dataset.data_loader_train.augmentation={max(stride // 2 - 1, 0)}",
+        "dataset.data_loader_train_eval.datasets=[ACCAD, CMU, BMLmovi, KIT]",
+        "dataset.data_loader_valid.datasets=[HumanEva]",
+    ]
+
+    # ---- phase: stage-1 autoencoder ---------------------------------------
+    ae_dir = os.path.join(root, "out_ae")
+
+    def train_ae():
+        from skeletondiffusion_tpu.cli.train_autoencoder import main as ae_main
+
+        ae_main(common + train_data + arch + [
+            "dataset=amass",
+            f"output_log_path={ae_dir}",
+            f"model.num_epochs={ae_epochs}",
+            "model.num_iter_perepoch=null",
+            "model.batch_size=64",
+            f"model.curriculum_it={curriculum_it}",
+            "model.if_run_validation=True",
+            f"model.eval_frequency={eval_freq}",
+            f"model.save_frequency={eval_freq * 5}",
+            f"model.lr_scheduler_kwargs.warmup_duration={ae_warm}",
+            "model.lr_scheduler_kwargs.update_every=1",
+        ])
+
+    run_phase("train_autoencoder", ae_dir, train_ae, timings)
+
+    # ---- phase: stage-2 diffusion, three objective variants ----------------
+    variants = {
+        "k1": ["model.train_pick_best_sample_among_k=1"],
+        "k50_latent": [f"model.train_pick_best_sample_among_k={k_full}",
+                       "model.similarity_space=latent_space"],
+        "k50_motion": [f"model.train_pick_best_sample_among_k={k_full}",
+                       "model.similarity_space=input_space"],
+    }
+    diff_dirs = {}
+    for vname, vargs in variants.items():
+        out = os.path.join(root, f"out_diff_{vname}")
+        diff_dirs[vname] = out
+
+        def train_diff(vargs=vargs, out=out):
+            from skeletondiffusion_tpu.cli.train_diffusion import main as diff_main
+
+            diff_main(common + diff_arch + vargs + [
+                f"output_log_path={out}",
+                f"model.pretrained_autoencoder_path={ae_dir}/checkpoints",
+                f"model.num_epochs={diff_epochs}",
+                "model.num_iter_perepoch=null",
+                "model.batch_size=64",
+                "model.if_run_validation=True",
+                f"model.eval_frequency={eval_freq}",
+                f"model.lr_scheduler_kwargs.warmup_duration={diff_warm}",
+                "model.lr_scheduler_kwargs.update_every=1",
+            ])
+
+        run_phase(f"train_diffusion_{vname}", out, train_diff, timings)
+
+    # ---- phase: evaluation --------------------------------------------------
+    results: dict = {}
+    eval_dir = os.path.join(root, "evals")
+    os.makedirs(eval_dir, exist_ok=True)
+
+    def run_eval(name: str, extra: list):
+        from skeletondiffusion_tpu.cli.eval import main as eval_main
+
+        res_path = os.path.join(eval_dir, f"results_{name}.yaml")
+        if not os.path.exists(res_path):
+            eval_main(common + [
+                "dataset=amass",
+                "dataset.data_loader_test.datasets=[DFaust, GRAB]",
+                "stats_mode=probabilistic",
+                f"num_samples={num_samples}",
+                "batch_size=256",
+                "if_compute_cmd=True",
+                "if_compute_apde=True",
+                f"results_path={res_path}",
+            ] + extra)
+        import yaml
+
+        with open(res_path) as f:
+            return yaml.safe_load(f)
+
+    t0 = time.time()
+    # the reference's algorithmic baseline runs in CenterPose space
+    # (`configs/config_eval/method_specs/zerovelocity_alg_baseline.yaml`) —
+    # the metric space is identical, so ADE/FDE are directly comparable
+    results["zero_velocity"] = run_eval("zv", [
+        "method_specs=zerovelocity_alg_baseline",
+    ])
+    for vname, out in diff_dirs.items():
+        results[vname] = run_eval(vname, [f"checkpoint_path={out}"])
+    timings["evals"] = round(time.time() - t0, 1)
+
+    # ---- phase: analysis ------------------------------------------------------
+    report = analyze(root, ae_dir, diff_dirs, results,
+                     smoke=args.smoke, timings=timings,
+                     config=dict(obs_len=obs_len, pred_len=pred_len,
+                                 clip_len=clip_len, files_per_dataset=files_per_ds,
+                                 ae_epochs=ae_epochs, diff_epochs=diff_epochs,
+                                 k=k_full, num_samples=num_samples))
+    timings["total"] = round(time.time() - t_all, 1)
+    report["timings_sec"] = timings
+    os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
+    with open(args.out_json, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"[capstone] report written to {args.out_json}")
+    print(json.dumps(report.get("checks", {}), indent=2))
+    if not args.smoke and not all(report["checks"].values()):
+        print("[capstone] SOME CHECKS FAILED", file=sys.stderr)
+        sys.exit(1)
+
+
+def analyze(root, ae_dir, diff_dirs, results, *, smoke, timings, config):
+    """Assemble the evidence trail for VERDICT checks (a)-(d)."""
+    flagship = results["k50_motion"]
+    zv = results["zero_velocity"]
+
+    # (c) EMA validation ADE trajectory + top-k rotation evidence
+    val_ade = [
+        (r["step"], r["ADE"])
+        for r in read_jsonl(os.path.join(diff_dirs["k50_motion"], "metrics.jsonl"))
+        if r.get("prefix") == "valid" and "ADE" in r
+    ]
+    ckpt_dir = os.path.join(diff_dirs["k50_motion"], "checkpoints")
+    kept = sorted(d for d in os.listdir(ckpt_dir)
+                  if os.path.isdir(os.path.join(ckpt_dir, d))) if os.path.isdir(ckpt_dir) else []
+
+    # (d) LR floor + curriculum annealing. LR comes from the per-EPOCH log
+    # rows (prefix "train") — iteration rows are only logged every
+    # log_every_iters and can miss the final epochs entirely.
+    ae_rows = read_jsonl(os.path.join(ae_dir, "metrics.jsonl"))
+    diff_rows = read_jsonl(os.path.join(diff_dirs["k50_motion"], "metrics.jsonl"))
+    ae_epoch_lr = [r["lr"] for r in ae_rows if r.get("prefix") == "train" and "lr" in r]
+    diff_epoch_lr = [r["lr"] for r in diff_rows if r.get("prefix") == "train" and "lr" in r]
+    ae_lr_final = ae_epoch_lr[-1] if ae_epoch_lr else None
+    diff_lr_final = diff_epoch_lr[-1] if diff_epoch_lr else None
+    ph_series = [(r["step"], r["ph"]) for r in ae_rows
+                 if r.get("prefix") in ("train", "train_iter") and "ph" in r]
+    # after the cosine cycle the horizon is RANDOMIZED in [ph_min, ph_train)
+    # (reference `trainer.py:66-76`), so "annealed" shows as logged horizons
+    # reaching the upper end of that range, not a single deterministic value
+    ph_max_reached = max((p for _, p in ph_series), default=0)
+
+    ae_val = [
+        (r["step"], r["ADE"])
+        for r in read_jsonl(os.path.join(ae_dir, "metrics.jsonl"))
+        if r.get("prefix") == "valid" and "ADE" in r
+    ]
+
+    checks = {
+        "flagship_beats_zero_velocity_ade": flagship["ADE"] < 0.6 * zv["ADE"],
+        "flagship_beats_zero_velocity_fde": flagship["FDE"] < 0.6 * zv["FDE"],
+        "apd_ordering_motion_gt_latent": results["k50_motion"]["APD"] > results["k50_latent"]["APD"],
+        "apd_ordering_latent_gt_k1": results["k50_latent"]["APD"] > results["k1"]["APD"],
+        "ema_val_ade_improved": (len(val_ade) >= 2 and
+                                 min(a for _, a in val_ade[1:]) < val_ade[0][1]),
+        "topk_checkpoints_rotated": len(kept) >= 2,
+        "ae_lr_reached_floor": (ae_lr_final is not None and ae_lr_final <= 1.0e-4 * 1.001),
+        "diff_lr_reached_floor": (diff_lr_final is not None and diff_lr_final <= 1.0e-4 * 1.001),
+        "curriculum_fully_annealed": ph_max_reached >= 0.9 * config["pred_len"],
+        "ae_val_ade_improved": (len(ae_val) >= 2 and
+                                min(a for _, a in ae_val[1:]) < ae_val[0][1]),
+    }
+    return {
+        "description": "Two-stage convergence capstone on synthetic rigid-skeleton "
+                       "motion (scripts/convergence_capstone.py); VERDICT r3 #1",
+        "smoke": smoke,
+        "config": config,
+        "metrics": {k: {m: float(v) for m, v in r.items() if isinstance(v, (int, float))}
+                    for k, r in results.items()},
+        "valid_ade_trajectory_k50_motion": val_ade,
+        "valid_ade_trajectory_autoencoder": ae_val,
+        "kept_checkpoints_k50_motion": kept,
+        "final_lr": {"autoencoder": ae_lr_final, "diffusion": diff_lr_final},
+        "curriculum_ph_max": ph_max_reached,
+        "checks": checks,
+    }
+
+
+if __name__ == "__main__":
+    main()
