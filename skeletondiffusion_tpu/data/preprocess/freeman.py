@@ -73,7 +73,19 @@ def create_freeman_npz(dataset_folder: str, annotation_folder: str, output_path:
     ]
     output: Dict[str, np.ndarray] = {}
     for seq in sequences:
-        raw = np.load(os.path.join(kpts_dir, seq + ".npy"))
+        raw = np.load(os.path.join(kpts_dir, seq + ".npy"), allow_pickle=True)
+        if raw.dtype == object:
+            # upstream raw format: object array whose first element is a dict
+            # of keypoint variants; smoothnet32 > smoothnet > optim priority
+            # (reference `create_freeman_dataset.py:83-88`)
+            d = raw[0]
+            for key in ("keypoints3d_smoothnet32", "keypoints3d_smoothnet",
+                        "keypoints3d_optim"):
+                if key in d:
+                    raw = np.asarray(d[key])
+                    break
+            else:
+                raise KeyError(f"{seq}: no keypoints3d variant in {sorted(d)}")
         if raw.ndim == 4:  # [1,T,17,3]
             raw = raw[0]
         slices, _ = remove_illposed_frames(seq, raw, illposed)
