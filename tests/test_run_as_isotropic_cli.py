@@ -91,13 +91,11 @@ def _train_diffusion(root, ae_dir, model_cfg, out):
 
 def _params_vec(exp_dir):
     import jax
-    import orbax.checkpoint as ocp
 
     from skeletondiffusion_tpu.train.checkpoint import CheckpointManager
 
     ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
-    with ocp.PyTreeCheckpointer() as ckptr:
-        raw = ckptr.restore(ckpt.latest_path())
+    raw = ckpt.restore_raw()
     return np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(raw["params"])])
 
 
