@@ -91,7 +91,12 @@ def main():
         with open(os.path.join(bf16_dir, "config.yaml")) as f:
             import yaml
 
-            diff_epochs = yaml.safe_load(f)["num_epochs"]
+            bf16_cfg = yaml.safe_load(f)
+        # mirror the capstone flagship's exact schedule (epochs, per-epoch
+        # iteration cap, LR warmup/decay) so the ONLY difference is dtype
+        diff_epochs = bf16_cfg["num_epochs"]
+        sched = bf16_cfg["lr_scheduler_kwargs"]
+        iters = bf16_cfg.get("num_iter_perepoch")
         print(f"== training fp32 twin ({diff_epochs} epochs) ==", flush=True)
         diff_main([
             f"dataset_main_path={root}/datasets",
@@ -101,12 +106,14 @@ def main():
             f"model.pretrained_autoencoder_path={ae_dir}/checkpoints",
             "model.compute_dtype=null",
             f"model.num_epochs={diff_epochs}",
-            "model.num_iter_perepoch=null", "model.batch_size=64",
+            f"model.num_iter_perepoch={iters if iters else 'null'}",
+            "model.batch_size=64",
             "model.train_pick_best_sample_among_k=50",
             "model.similarity_space=input_space",
             "model.if_run_validation=True", "model.eval_frequency=10",
-            "model.lr_scheduler_kwargs.warmup_duration=20",
-            "model.lr_scheduler_kwargs.update_every=1",
+            f"model.lr_scheduler_kwargs.warmup_duration={sched['warmup_duration']}",
+            f"model.lr_scheduler_kwargs.update_every={sched['update_every']}",
+            f"model.lr_scheduler_kwargs.gamma_decay={sched['gamma_decay']}",
         ])
         with open(os.path.join(fp32_dir, "DONE"), "w") as f:
             f.write("ok")

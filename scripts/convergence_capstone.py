@@ -109,18 +109,28 @@ def main():
                      "model.diffusion_timesteps=4"]
         k_full = 4
         num_samples = 4
+        diff_sched = ["model.num_iter_perepoch=null"]
     else:
         task = ["task.history_sec=0.5", "task.prediction_horizon_sec=2.0"]
         obs_len, pred_len = 30, 120
         clip_len, files_per_ds, stride = 480, 25, 15
         # LR floors: AE 5e-3 ->(x0.98/epoch after 10 warmup)-> 1e-4 at epoch
-        # ~204; diffusion 1e-3 -> 1e-4 at epoch ~134 (warmup 20, update 1)
-        ae_epochs, ae_warm, diff_epochs, diff_warm = 210, 10, 150, 20
+        # ~204; diffusion 1e-3 ->(x0.94/epoch after 10 warmup)-> 1e-4 at
+        # epoch ~48 < 60.  The faster diffusion decay + 256-iteration epochs
+        # keep the three stage-2 variants + the bf16 fp32 twin inside the
+        # round's TPU budget (measured 0.12-0.18 s/step) while still
+        # exercising the floor's sticky branch for >10 epochs.
+        ae_epochs, ae_warm, diff_epochs, diff_warm = 210, 10, 60, 10
         eval_freq, curriculum_it = 10, 20
         arch = []           # flagship: latent 96, hidden 96
         diff_arch = []      # flagship: depth 4, heads 8, T=10
         k_full = 50
         num_samples = 50
+        diff_sched = ["model.num_iter_perepoch=256",
+                      "model.lr_scheduler_kwargs.gamma_decay=0.94"]
+
+    # stage-2 epoch accounting stays meaningful with num_iter_perepoch=256:
+    # 60 epochs x 256 iters x batch 64 ~ 1.0M samples over 33k train segments
 
     # ---- phase: dataset ---------------------------------------------------
     ds_root = os.path.join(root, "datasets")
@@ -188,11 +198,10 @@ def main():
         def train_diff(vargs=vargs, out=out):
             from skeletondiffusion_tpu.cli.train_diffusion import main as diff_main
 
-            diff_main(common + diff_arch + vargs + [
+            diff_main(common + diff_arch + vargs + diff_sched + [
                 f"output_log_path={out}",
                 f"model.pretrained_autoencoder_path={ae_dir}/checkpoints",
                 f"model.num_epochs={diff_epochs}",
-                "model.num_iter_perepoch=null",
                 "model.batch_size=64",
                 "model.if_run_validation=True",
                 f"model.eval_frequency={eval_freq}",
