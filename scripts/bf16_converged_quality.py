@@ -98,7 +98,13 @@ def main():
         sched = bf16_cfg["lr_scheduler_kwargs"]
         iters = bf16_cfg.get("num_iter_perepoch")
         print(f"== training fp32 twin ({diff_epochs} epochs) ==", flush=True)
-        diff_main([
+        # within-phase resume after a tunnel flake (same pattern as the
+        # capstone's resume_flag): the trainers' resume is bit-faithful
+        ckpts = os.path.join(fp32_dir, "checkpoints")
+        resume = (["model.if_resume_training=True"]
+                  if os.path.isdir(ckpts)
+                  and any(d.startswith("latest_") for d in os.listdir(ckpts)) else [])
+        diff_main(resume + [
             f"dataset_main_path={root}/datasets",
             "device_mesh.n_devices=1",
             "task.history_sec=0.5", "task.prediction_horizon_sec=2.0",

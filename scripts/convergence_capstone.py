@@ -61,6 +61,18 @@ def read_jsonl(path: str):
     return rows
 
 
+def resume_flag(out_dir: str) -> list:
+    """Within-phase resume: if a prior (interrupted) run of this phase left
+    checkpoints behind, restart the trainer from its latest epoch instead of
+    from scratch.  The trainers' resume is bit-faithful (host RNG streams,
+    LR-scheduler state, step counters all checkpointed), so a supervised
+    restart after a tunnel flake loses at most one epoch."""
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    if os.path.isdir(ckpt_dir) and any(d.startswith("latest_") for d in os.listdir(ckpt_dir)):
+        return ["model.if_resume_training=True"]
+    return []
+
+
 def run_phase(name: str, out_dir: str, fn, timings: dict):
     if done(out_dir):
         print(f"[capstone] {name}: already done, skipping")
@@ -166,7 +178,7 @@ def main():
     def train_ae():
         from skeletondiffusion_tpu.cli.train_autoencoder import main as ae_main
 
-        ae_main(common + train_data + arch + [
+        ae_main(common + train_data + arch + resume_flag(ae_dir) + [
             "dataset=amass",
             f"output_log_path={ae_dir}",
             f"model.num_epochs={ae_epochs}",
@@ -183,12 +195,16 @@ def main():
     run_phase("train_autoencoder", ae_dir, train_ae, timings)
 
     # ---- phase: stage-2 diffusion, three objective variants ----------------
+    # flagship (k50_motion) trains BEFORE k50_latent: if the round's TPU
+    # budget runs out mid-way, the checks that depend only on the flagship
+    # ((a), (c), (d)) survive; only the latent leg of the APD ordering is
+    # at risk.
     variants = {
         "k1": ["model.train_pick_best_sample_among_k=1"],
-        "k50_latent": [f"model.train_pick_best_sample_among_k={k_full}",
-                       "model.similarity_space=latent_space"],
         "k50_motion": [f"model.train_pick_best_sample_among_k={k_full}",
                        "model.similarity_space=input_space"],
+        "k50_latent": [f"model.train_pick_best_sample_among_k={k_full}",
+                       "model.similarity_space=latent_space"],
     }
     diff_dirs = {}
     for vname, vargs in variants.items():
@@ -198,7 +214,7 @@ def main():
         def train_diff(vargs=vargs, out=out):
             from skeletondiffusion_tpu.cli.train_diffusion import main as diff_main
 
-            diff_main(common + diff_arch + vargs + diff_sched + [
+            diff_main(common + diff_arch + vargs + diff_sched + resume_flag(out) + [
                 f"output_log_path={out}",
                 f"model.pretrained_autoencoder_path={ae_dir}/checkpoints",
                 f"model.num_epochs={diff_epochs}",
