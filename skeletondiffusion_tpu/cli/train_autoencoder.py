@@ -140,19 +140,23 @@ def train(cfg: Dict) -> str:
             state, loss, ph = trainer.train_step(
                 state, k_step, (obs_t, pred_t), epoch=epoch, iteration=it_global
             )
-            losses.append(float(loss))
+            # keep the device scalar; float() is deferred to the logging
+            # cadence / epoch end — a per-step float(loss) blocks dispatch on
+            # one host↔device round-trip per step, which dominates the loop
+            # on remote/tunneled devices
+            losses.append(loss)
             # per-iteration loss/lr + param/grad norms every 100 iterations
             # (reference `src/utils/tensorboard.py:58-122`)
             if it_global % cfg.get("log_every_iters", 10) == 0:
                 logger.log(it_global, {
-                    "loss": losses[-1],
+                    "loss": float(losses[-1]),
                     "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"],
                     "ph": ph, "epoch": epoch,
                 }, prefix="train_iter")
             logger.log_param_norms(it_global, state.params,
                                    grad_norm=trainer.last_grad_norm)
             it_global += 1
-        logger.log(epoch, {"loss": float(np.mean(losses)),
+        logger.log(epoch, {"loss": float(np.mean(jax.device_get(losses))),
                            "lr": trainer.lr_scheduler._current if trainer.lr_scheduler else cfg["lr"],
                            "ph": ph})
         # per-epoch weight histograms/norms (reference `tensorboard.py:98-122`)

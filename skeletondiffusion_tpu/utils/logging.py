@@ -11,7 +11,28 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+@jax.jit
+def _global_norm(tree):
+    """Global L2 norm of a pytree, computed ON DEVICE so only one scalar
+    crosses to host.  The naive host-side version ships every leaf (the
+    full parameter tree — ~128 MB for the flagship denoiser) over the
+    device link per call, which dominates the train loop on remote or
+    tunneled devices."""
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                        for l in jax.tree.leaves(tree)))
+
+
+@jax.jit
+def _leaf_norms(tree):
+    """Per-leaf L2 norms on device — one small scalar-tree transfer instead
+    of the full parameter tree."""
+    return jax.tree.map(
+        lambda l: jnp.sqrt(jnp.sum(jnp.square(l.astype(jnp.float32)))), tree
+    )
 
 
 class MetricsLogger:
@@ -45,17 +66,11 @@ class MetricsLogger:
         precomputed (device) scalar — cheaper than shipping the grad tree."""
         if step % self.norms_every != 0:
             return
-        pnorm = float(
-            np.sqrt(sum(float((np.asarray(p, dtype=np.float64) ** 2).sum()) for p in jax.tree.leaves(params)))
-        )
-        vals = {"param_global_norm": pnorm}
+        vals = {"param_global_norm": float(_global_norm(params))}
         if grad_norm is not None:
             vals["grad_global_norm"] = float(grad_norm)
         elif grads is not None:
-            gnorm = float(
-                np.sqrt(sum(float((np.asarray(g, dtype=np.float64) ** 2).sum()) for g in jax.tree.leaves(grads)))
-            )
-            vals["grad_global_norm"] = gnorm
+            vals["grad_global_norm"] = float(_global_norm(grads))
         self.log(step, vals, prefix="norms")
 
     def log_param_histograms(self, step: int, params, grads=None):
@@ -67,15 +82,24 @@ class MetricsLogger:
 
         def walk(tree, tag):
             rec = {}
-            flat, _ = jax.tree_util.tree_flatten_with_path(tree)
-            for path, leaf in flat:
+            # per-leaf norms computed on device; a single scalar-tree D2H
+            # transfer replaces shipping the whole parameter tree to host
+            flat, _ = jax.tree_util.tree_flatten_with_path(
+                jax.device_get(_leaf_norms(tree))
+            )
+            for path, norm in flat:
                 name = "/".join(
                     str(getattr(k, "key", getattr(k, "idx", k))) for k in path
                 )
-                a = np.asarray(leaf, dtype=np.float64)
-                rec[f"{tag}/{name}"] = float(np.sqrt((a * a).sum()))
-                if self._tb is not None:
-                    self._tb.add_histogram(f"{tag}/{name}", a, step)
+                rec[f"{tag}/{name}"] = float(norm)
+            if self._tb is not None:
+                # full arrays cross to host only when a TB writer consumes them
+                aflat, _ = jax.tree_util.tree_flatten_with_path(tree)
+                for path, leaf in aflat:
+                    name = "/".join(
+                        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+                    )
+                    self._tb.add_histogram(f"{tag}/{name}", np.asarray(leaf), step)
             return rec
 
         vals = walk(params, "weights_norm")
