@@ -15,7 +15,7 @@ good flagship model (``scripts/convergence_capstone.py``; docs/convergence.json)
    diff the tables.
 
 Appends a ``converged`` section to ``docs/bf16_eval_quality.json``.
-Requires a completed capstone run (default root /tmp/capstone_full).
+Requires a completed capstone run (default root /tmp/capstone).
 
     python scripts/convergence_capstone.py          # first (hours)
     python scripts/bf16_converged_quality.py        # then this (~30 min)
@@ -71,7 +71,7 @@ def run_eval(root, diff_dir, compute_dtype, tag):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--root", default="/tmp/capstone_full")
+    ap.add_argument("--root", default="/tmp/capstone")
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "bf16_eval_quality.json"))
     args = ap.parse_args()
     root = args.root
