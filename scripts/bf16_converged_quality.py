@@ -73,6 +73,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--root", default="/tmp/capstone")
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "bf16_eval_quality.json"))
+    ap.add_argument("--eval-only", action="store_true",
+                    help="measure only the (cheap) eval-dtype sensitivity on the "
+                         "capstone checkpoint; skip the fp32-trained twin")
     args = ap.parse_args()
     root = args.root
     os.chdir(REPO)
@@ -85,7 +88,7 @@ def main():
 
     # fp32-trained twin of the flagship stage-2 run (same AE, seed, schedule)
     fp32_dir = os.path.join(root, "out_diff_k50_motion_fp32")
-    if not os.path.exists(os.path.join(fp32_dir, "DONE")):
+    if not args.eval_only and not os.path.exists(os.path.join(fp32_dir, "DONE")):
         from skeletondiffusion_tpu.cli.train_diffusion import main as diff_main
 
         with open(os.path.join(bf16_dir, "config.yaml")) as f:
@@ -128,11 +131,14 @@ def main():
     e_ckptbf16_fp32 = run_eval(root, bf16_dir, "null", "ckptbf16_evalfp32")
     print("== eval: bf16-trained ckpt, bf16 compute ==", flush=True)
     e_ckptbf16_bf16 = run_eval(root, bf16_dir, "bfloat16", "ckptbf16_evalbf16")
-    print("== eval: fp32-trained ckpt, fp32 compute ==", flush=True)
-    e_ckptfp32_fp32 = run_eval(root, fp32_dir, "null", "ckptfp32_evalfp32")
+    if args.eval_only:
+        e_ckptfp32_fp32, train_deltas = None, None
+    else:
+        print("== eval: fp32-trained ckpt, fp32 compute ==", flush=True)
+        e_ckptfp32_fp32 = run_eval(root, fp32_dir, "null", "ckptfp32_evalfp32")
+        train_deltas = delta_table(e_ckptfp32_fp32, e_ckptbf16_fp32)
 
     eval_deltas = delta_table(e_ckptbf16_fp32, e_ckptbf16_bf16)
-    train_deltas = delta_table(e_ckptfp32_fp32, e_ckptbf16_fp32)
     converged = {
         "setup": {
             "model": "convergence-capstone flagship k50_motion "
@@ -143,24 +149,34 @@ def main():
         },
         "metrics_ckptbf16_evalfp32": {k: float(v) for k, v in sorted(e_ckptbf16_fp32.items())},
         "metrics_ckptbf16_evalbf16": {k: float(v) for k, v in sorted(e_ckptbf16_bf16.items())},
-        "metrics_ckptfp32_evalfp32": {k: float(v) for k, v in sorted(e_ckptfp32_fp32.items())},
         "eval_dtype_sensitivity": eval_deltas,
-        "train_dtype_sensitivity": train_deltas,
         "eval_dtype_max_abs_delta_position_m": max(
             abs(eval_deltas[k]["abs_delta"]) for k in POSITION_METRICS if k in eval_deltas),
-        "train_dtype_max_abs_delta_position_m": max(
-            abs(train_deltas[k]["abs_delta"]) for k in POSITION_METRICS if k in train_deltas),
     }
+    if not args.eval_only:
+        converged["metrics_ckptfp32_evalfp32"] = {
+            k: float(v) for k, v in sorted(e_ckptfp32_fp32.items())}
+        converged["train_dtype_sensitivity"] = train_deltas
+        converged["train_dtype_max_abs_delta_position_m"] = max(
+            abs(train_deltas[k]["abs_delta"]) for k in POSITION_METRICS if k in train_deltas)
     with open(args.out) as f:
         report = json.load(f)
+    # --eval-only must not clobber an earlier full run's train-dtype section
+    prior = report.get("converged", {})
+    if args.eval_only and "train_dtype_sensitivity" in prior:
+        for k in ("metrics_ckptfp32_evalfp32", "train_dtype_sensitivity",
+                  "train_dtype_max_abs_delta_position_m"):
+            converged[k] = prior[k]
     report["converged"] = converged
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(converged["eval_dtype_sensitivity"], indent=2))
-    print(json.dumps(converged["train_dtype_sensitivity"], indent=2))
+    if "train_dtype_sensitivity" in converged:
+        print(json.dumps(converged["train_dtype_sensitivity"], indent=2))
     print("position-metric max |delta| (m): eval-dtype",
           converged["eval_dtype_max_abs_delta_position_m"],
-          "train-dtype", converged["train_dtype_max_abs_delta_position_m"])
+          "train-dtype",
+          converged.get("train_dtype_max_abs_delta_position_m", "SKIPPED (--eval-only)"))
     print("wrote", args.out)
 
 
