@@ -90,6 +90,11 @@ def main():
     ap.add_argument("--root", default="/tmp/capstone")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes/epochs on CPU to exercise the plumbing")
+    ap.add_argument("--only-done-variants", action="store_true",
+                    help="do not train stage-2 variants whose phase marker is "
+                         "absent; evaluate + report only completed ones (an "
+                         "honestly-partial convergence.json when the TPU "
+                         "budget runs out mid-schedule)")
     ap.add_argument("--out-json", default=os.path.join(REPO, "docs", "convergence.json"))
     args = ap.parse_args()
 
@@ -209,6 +214,10 @@ def main():
     diff_dirs = {}
     for vname, vargs in variants.items():
         out = os.path.join(root, f"out_diff_{vname}")
+        if args.only_done_variants and not done(out):
+            print(f"[capstone] train_diffusion_{vname}: not done, "
+                  "skipping (--only-done-variants)")
+            continue
         diff_dirs[vname] = out
 
         def train_diff(vargs=vargs, out=out):
@@ -277,7 +286,8 @@ def main():
         json.dump(report, f, indent=2)
     print(f"[capstone] report written to {args.out_json}")
     print(json.dumps(report.get("checks", {}), indent=2))
-    if not args.smoke and not all(report["checks"].values()):
+    judged = [v for v in report["checks"].values() if v is not None]
+    if not args.smoke and not all(judged):
         print("[capstone] SOME CHECKS FAILED", file=sys.stderr)
         sys.exit(1)
 
@@ -319,11 +329,17 @@ def analyze(root, ae_dir, diff_dirs, results, *, smoke, timings, config):
         if r.get("prefix") == "valid" and "ADE" in r
     ]
 
+    def apd_gt(a, b):
+        # None (= not judged) when a variant was skipped by --only-done-variants
+        if a not in results or b not in results:
+            return None
+        return bool(results[a]["APD"] > results[b]["APD"])
+
     checks = {
         "flagship_beats_zero_velocity_ade": flagship["ADE"] < 0.6 * zv["ADE"],
         "flagship_beats_zero_velocity_fde": flagship["FDE"] < 0.6 * zv["FDE"],
-        "apd_ordering_motion_gt_latent": results["k50_motion"]["APD"] > results["k50_latent"]["APD"],
-        "apd_ordering_latent_gt_k1": results["k50_latent"]["APD"] > results["k1"]["APD"],
+        "apd_ordering_motion_gt_latent": apd_gt("k50_motion", "k50_latent"),
+        "apd_ordering_latent_gt_k1": apd_gt("k50_latent", "k1"),
         "ema_val_ade_improved": (len(val_ade) >= 2 and
                                  min(a for _, a in val_ade[1:]) < val_ade[0][1]),
         "topk_checkpoints_rotated": len(kept) >= 2,
@@ -333,10 +349,12 @@ def analyze(root, ae_dir, diff_dirs, results, *, smoke, timings, config):
         "ae_val_ade_improved": (len(ae_val) >= 2 and
                                 min(a for _, a in ae_val[1:]) < ae_val[0][1]),
     }
+    missing = [v for v in ("k1", "k50_motion", "k50_latent") if v not in results]
     return {
         "description": "Two-stage convergence capstone on synthetic rigid-skeleton "
                        "motion (scripts/convergence_capstone.py); VERDICT r3 #1",
         "smoke": smoke,
+        "partial_variants_missing": missing,
         "config": config,
         "metrics": {k: {m: float(v) for m, v in r.items() if isinstance(v, (int, float))}
                     for k, r in results.items()},

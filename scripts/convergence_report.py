@@ -73,7 +73,12 @@ def main():
         "|---|---|",
     ]
     for key, ok in r["checks"].items():
-        lines.append(f"| {CHECK_LABELS.get(key, key)} | {'PASS' if ok else 'FAIL'} |")
+        verdict = "not judged (variant skipped)" if ok is None else ("PASS" if ok else "FAIL")
+        lines.append(f"| {CHECK_LABELS.get(key, key)} | {verdict} |")
+    if r.get("partial_variants_missing"):
+        lines += ["", f"**PARTIAL RUN** — stage-2 variants not trained yet: "
+                      f"{', '.join(r['partial_variants_missing'])} "
+                      "(re-run `scripts/convergence_capstone.py` to complete them)."]
 
     lines += ["", "## Final test-split metric table (DFaust+GRAB synthetic split)", ""]
     header = "| run | " + " | ".join(METRIC_COLS) + " |"
