@@ -236,6 +236,10 @@ def main():
 
         run_phase(f"train_diffusion_{vname}", out, train_diff, timings)
 
+    if "k50_motion" not in diff_dirs:
+        sys.exit("[capstone] flagship (k50_motion) not trained yet — nothing to "
+                 "report; run without --only-done-variants first")
+
     # ---- phase: evaluation --------------------------------------------------
     results: dict = {}
     eval_dir = os.path.join(root, "evals")
