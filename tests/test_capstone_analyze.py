@@ -102,6 +102,23 @@ def test_analyze_every_check_fails_on_bad_evidence(capstone, tmp_path):
     assert not any(report["checks"].values()), report["checks"]
 
 
+def test_analyze_partial_variants(capstone, tmp_path):
+    """--only-done-variants: APD-ordering checks involving a skipped variant
+    are None (not judged), the miss is recorded, and the judged flagship
+    checks still pass."""
+    ae_dir, diff_dirs, results = _fabricate(str(tmp_path), good=True)
+    del results["k50_latent"]
+    diff_dirs.pop("k50_latent")
+    report = capstone.analyze(str(tmp_path), ae_dir, diff_dirs, results,
+                              smoke=False, timings={}, config=CONFIG)
+    checks = report["checks"]
+    assert checks["apd_ordering_motion_gt_latent"] is None
+    assert checks["apd_ordering_latent_gt_k1"] is None
+    assert report["partial_variants_missing"] == ["k50_latent"]
+    judged = {k: v for k, v in checks.items() if v is not None}
+    assert judged and all(judged.values()), checks
+
+
 def test_analyze_margin_thresholds(capstone, tmp_path):
     """Beating ZV requires a WIDE margin (<0.6x), not merely being better."""
     ae_dir, diff_dirs, results = _fabricate(str(tmp_path), good=True)
