@@ -96,6 +96,22 @@ def main():
                          "honestly-partial convergence.json when the TPU "
                          "budget runs out mid-schedule)")
     ap.add_argument("--out-json", default=os.path.join(REPO, "docs", "convergence.json"))
+    # Session-fit schedule knobs: the default (ideal) schedule needs ~3 h of
+    # single-chip TPU; a builder session has ~1 h.  These override epochs /
+    # iters-per-epoch / LR decay so the SAME checks (LR floor reached,
+    # curriculum annealed, EMA val improvement, top-k rotation, APD ordering,
+    # beats-zero-velocity) are exercised inside a bounded budget.  All values
+    # land in the report's `config` block, so the evidence is self-describing.
+    ap.add_argument("--ae-epochs", type=int, default=None)
+    ap.add_argument("--ae-iters", type=int, default=None,
+                    help="stage-1 num_iter_perepoch (default: full epochs)")
+    ap.add_argument("--ae-gamma", type=float, default=None,
+                    help="stage-1 LR gamma_decay (config default 0.98)")
+    ap.add_argument("--diff-epochs", type=int, default=None)
+    ap.add_argument("--diff-iters", type=int, default=None)
+    ap.add_argument("--diff-gamma", type=float, default=None)
+    ap.add_argument("--diff-warmup", type=int, default=None)
+    ap.add_argument("--eval-freq", type=int, default=None)
     args = ap.parse_args()
 
     if args.smoke:
@@ -149,6 +165,27 @@ def main():
     # stage-2 epoch accounting stays meaningful with num_iter_perepoch=256:
     # 60 epochs x 256 iters x batch 64 ~ 1.0M samples over 33k train segments
 
+    # ---- session-fit overrides (see the argparse help above) ---------------
+    if args.ae_epochs is not None:
+        ae_epochs = args.ae_epochs
+    if args.diff_epochs is not None:
+        diff_epochs = args.diff_epochs
+    if args.diff_warmup is not None:
+        diff_warm = args.diff_warmup
+    if args.eval_freq is not None:
+        eval_freq = args.eval_freq
+    ae_sched = []
+    if args.ae_gamma is not None:
+        ae_sched.append(f"model.lr_scheduler_kwargs.gamma_decay={args.ae_gamma}")
+    ae_iters = "null" if args.ae_iters is None else str(args.ae_iters)
+    if args.diff_iters is not None:
+        diff_sched = [o for o in diff_sched if not o.startswith("model.num_iter_perepoch")]
+        diff_sched.append(f"model.num_iter_perepoch={args.diff_iters}")
+    if args.diff_gamma is not None:
+        diff_sched = [o for o in diff_sched
+                      if not o.startswith("model.lr_scheduler_kwargs.gamma_decay")]
+        diff_sched.append(f"model.lr_scheduler_kwargs.gamma_decay={args.diff_gamma}")
+
     # ---- phase: dataset ---------------------------------------------------
     ds_root = os.path.join(root, "datasets")
 
@@ -183,11 +220,11 @@ def main():
     def train_ae():
         from skeletondiffusion_tpu.cli.train_autoencoder import main as ae_main
 
-        ae_main(common + train_data + arch + resume_flag(ae_dir) + [
+        ae_main(common + train_data + arch + ae_sched + resume_flag(ae_dir) + [
             "dataset=amass",
             f"output_log_path={ae_dir}",
             f"model.num_epochs={ae_epochs}",
-            "model.num_iter_perepoch=null",
+            f"model.num_iter_perepoch={ae_iters}",
             "model.batch_size=64",
             f"model.curriculum_it={curriculum_it}",
             "model.if_run_validation=True",
@@ -205,9 +242,9 @@ def main():
     # ((a), (c), (d)) survive; only the latent leg of the APD ordering is
     # at risk.
     variants = {
-        "k1": ["model.train_pick_best_sample_among_k=1"],
         "k50_motion": [f"model.train_pick_best_sample_among_k={k_full}",
                        "model.similarity_space=input_space"],
+        "k1": ["model.train_pick_best_sample_among_k=1"],
         "k50_latent": [f"model.train_pick_best_sample_among_k={k_full}",
                        "model.similarity_space=latent_space"],
     }
@@ -282,6 +319,9 @@ def main():
                      config=dict(obs_len=obs_len, pred_len=pred_len,
                                  clip_len=clip_len, files_per_dataset=files_per_ds,
                                  ae_epochs=ae_epochs, diff_epochs=diff_epochs,
+                                 ae_iters_per_epoch=args.ae_iters,
+                                 ae_gamma=args.ae_gamma,
+                                 diff_sched=diff_sched, eval_freq=eval_freq,
                                  k=k_full, num_samples=num_samples))
     timings["total"] = round(time.time() - t_all, 1)
     report["timings_sec"] = timings
