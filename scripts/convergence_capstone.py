@@ -112,9 +112,16 @@ def main():
     ap.add_argument("--diff-gamma", type=float, default=None)
     ap.add_argument("--diff-warmup", type=int, default=None)
     ap.add_argument("--eval-freq", type=int, default=None)
+    ap.add_argument("--data-only", action="store_true",
+                    help="build the synthetic dataset on the LOCAL CPU backend "
+                         "and exit.  Data prep is host-side jax (skeleton "
+                         "transforms); on a tunneled remote TPU every dispatch "
+                         "pays the tunnel round-trip, so run this phase in a "
+                         "CPU subprocess first — the training run then skips "
+                         "it via the phase marker.")
     args = ap.parse_args()
 
-    if args.smoke:
+    if args.smoke or args.data_only:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -200,6 +207,9 @@ def main():
 
     os.makedirs(ds_root, exist_ok=True)
     run_phase("data", ds_root, build_data, timings)
+    if args.data_only:
+        print("[capstone] --data-only: dataset ready, exiting")
+        return
 
     common = [
         f"dataset_main_path={ds_root}",

@@ -230,17 +230,23 @@ def make_synthetic_amass_motion(
         segments_path=segments_path, if_consider_hip=False, if_load_mmgt=True,
         silent=True,
     )
+    # ONE fixed-shape device dispatch for every segment's mm-GT futures
+    # (per-segment transforms would recompile per unique future-count — on
+    # the remote-TPU tunnel that recompile storm took tens of minutes)
+    mm_sets = [mm_ds[i][2]["mm_gt"] for i in range(len(mm_ds))]
+    counts = [m.shape[0] for m in mm_sets]
+    all_fut = np.asarray(skeleton.transform_to_metric_space(
+        skeleton.tranform_to_input_space(np.concatenate(mm_sets, axis=0))))
     gt_apds = []
-    for i in range(len(mm_ds)):
-        _, _, extras = mm_ds[i]
-        fut = np.asarray(skeleton.transform_to_metric_space(
-            skeleton.tranform_to_input_space(extras["mm_gt"])))
-        flat = fut.reshape(fut.shape[0], -1).astype(np.float64)
-        if flat.shape[0] < 2:
+    off = 0
+    for c in counts:
+        flat = all_fut[off:off + c].reshape(c, -1).astype(np.float64)
+        off += c
+        if c < 2:
             gt_apds.append(0.0)
             continue
         d = np.linalg.norm(flat[:, None] - flat[None], axis=-1)
-        iu = np.triu_indices(flat.shape[0], k=1)
+        iu = np.triu_indices(c, k=1)
         gt_apds.append(float(d[iu].mean()))
     pd.DataFrame([{"id": i, "gt_APD": v} for i, v in enumerate(gt_apds)]).to_csv(
         os.path.join(ann, "mmapd_GT.csv"), index=False
