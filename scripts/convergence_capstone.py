@@ -224,8 +224,40 @@ def main():
         "dataset.data_loader_valid.datasets=[HumanEva]",
     ]
 
-    # ---- phase: stage-1 autoencoder ---------------------------------------
+    # ---- evidence banking (VERDICT r4 weak #1 / ask #2) ---------------------
+    # /tmp is not guaranteed across sessions and a tunnel flake has already
+    # eaten one full run: after EVERY completed phase, (re)write an honestly-
+    # partial docs/convergence.json so a mid-run kill still leaves committed
+    # evidence of every phase that finished.  The final write at the end of
+    # main() is just the last of these.
+    resolved_config = dict(
+        obs_len=obs_len, pred_len=pred_len, clip_len=clip_len,
+        files_per_dataset=files_per_ds,
+        ae_epochs=ae_epochs, ae_warmup=ae_warm,
+        ae_iters_per_epoch=None if ae_iters == "null" else int(ae_iters),
+        ae_gamma=args.ae_gamma if args.ae_gamma is not None else 0.98,
+        ae_sched=ae_sched,
+        diff_epochs=diff_epochs, diff_warmup=diff_warm, diff_sched=diff_sched,
+        eval_freq=eval_freq, curriculum_it=curriculum_it,
+        k=k_full, num_samples=num_samples,
+    )
+    results: dict = {}
+    diff_dirs: dict = {}
     ae_dir = os.path.join(root, "out_ae")
+
+    def bank(last_phase: str):
+        """Write the partial report now; safe at any point after data prep."""
+        report = analyze(root, ae_dir, diff_dirs, results, smoke=args.smoke,
+                         timings=timings, config=resolved_config)
+        report["last_phase_done"] = last_phase
+        report["timings_sec"] = dict(timings, total=round(time.time() - t_all, 1))
+        os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
+        with open(args.out_json, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"[capstone] banked partial report after '{last_phase}' -> {args.out_json}")
+        return report
+
+    # ---- phase: stage-1 autoencoder ---------------------------------------
 
     def train_ae():
         from skeletondiffusion_tpu.cli.train_autoencoder import main as ae_main
@@ -245,12 +277,49 @@ def main():
         ])
 
     run_phase("train_autoencoder", ae_dir, train_ae, timings)
+    bank("train_autoencoder")
+
+    # ---- eval helper (used per variant, immediately after it trains) --------
+    eval_dir = os.path.join(root, "evals")
+    os.makedirs(eval_dir, exist_ok=True)
+
+    def run_eval(name: str, extra: list):
+        from skeletondiffusion_tpu.cli.eval import main as eval_main
+
+        res_path = os.path.join(eval_dir, f"results_{name}.yaml")
+        if not os.path.exists(res_path):
+            t0 = time.time()
+            eval_main(common + [
+                "dataset=amass",
+                "dataset.data_loader_test.datasets=[DFaust, GRAB]",
+                "stats_mode=probabilistic",
+                f"num_samples={num_samples}",
+                "batch_size=256",
+                "if_compute_cmd=True",
+                "if_compute_apde=True",
+                f"results_path={res_path}",
+            ] + extra)
+            timings[f"eval_{name}"] = round(time.time() - t0, 1)
+        import yaml
+
+        with open(res_path) as f:
+            return yaml.safe_load(f)
+
+    # the reference's algorithmic baseline runs in CenterPose space
+    # (`configs/config_eval/method_specs/zerovelocity_alg_baseline.yaml`) —
+    # the metric space is identical, so ADE/FDE are directly comparable.
+    # It needs no trained model, so it runs (and is banked) first.
+    results["zero_velocity"] = run_eval("zv", [
+        "method_specs=zerovelocity_alg_baseline",
+    ])
+    bank("eval_zero_velocity")
 
     # ---- phase: stage-2 diffusion, three objective variants ----------------
     # flagship (k50_motion) trains BEFORE k50_latent: if the round's TPU
     # budget runs out mid-way, the checks that depend only on the flagship
     # ((a), (c), (d)) survive; only the latent leg of the APD ordering is
-    # at risk.
+    # at risk.  Each variant is EVALUATED (and the partial report re-banked)
+    # as soon as it finishes training, so evidence accrues per phase.
     variants = {
         "k50_motion": [f"model.train_pick_best_sample_among_k={k_full}",
                        "model.similarity_space=input_space"],
@@ -258,7 +327,6 @@ def main():
         "k50_latent": [f"model.train_pick_best_sample_among_k={k_full}",
                        "model.similarity_space=latent_space"],
     }
-    diff_dirs = {}
     for vname, vargs in variants.items():
         out = os.path.join(root, f"out_diff_{vname}")
         if args.only_done_variants and not done(out):
@@ -282,62 +350,15 @@ def main():
             ])
 
         run_phase(f"train_diffusion_{vname}", out, train_diff, timings)
+        results[vname] = run_eval(vname, [f"checkpoint_path={out}"])
+        bank(f"eval_{vname}")
 
     if "k50_motion" not in diff_dirs:
         sys.exit("[capstone] flagship (k50_motion) not trained yet — nothing to "
                  "report; run without --only-done-variants first")
 
-    # ---- phase: evaluation --------------------------------------------------
-    results: dict = {}
-    eval_dir = os.path.join(root, "evals")
-    os.makedirs(eval_dir, exist_ok=True)
-
-    def run_eval(name: str, extra: list):
-        from skeletondiffusion_tpu.cli.eval import main as eval_main
-
-        res_path = os.path.join(eval_dir, f"results_{name}.yaml")
-        if not os.path.exists(res_path):
-            eval_main(common + [
-                "dataset=amass",
-                "dataset.data_loader_test.datasets=[DFaust, GRAB]",
-                "stats_mode=probabilistic",
-                f"num_samples={num_samples}",
-                "batch_size=256",
-                "if_compute_cmd=True",
-                "if_compute_apde=True",
-                f"results_path={res_path}",
-            ] + extra)
-        import yaml
-
-        with open(res_path) as f:
-            return yaml.safe_load(f)
-
-    t0 = time.time()
-    # the reference's algorithmic baseline runs in CenterPose space
-    # (`configs/config_eval/method_specs/zerovelocity_alg_baseline.yaml`) —
-    # the metric space is identical, so ADE/FDE are directly comparable
-    results["zero_velocity"] = run_eval("zv", [
-        "method_specs=zerovelocity_alg_baseline",
-    ])
-    for vname, out in diff_dirs.items():
-        results[vname] = run_eval(vname, [f"checkpoint_path={out}"])
-    timings["evals"] = round(time.time() - t0, 1)
-
-    # ---- phase: analysis ------------------------------------------------------
-    report = analyze(root, ae_dir, diff_dirs, results,
-                     smoke=args.smoke, timings=timings,
-                     config=dict(obs_len=obs_len, pred_len=pred_len,
-                                 clip_len=clip_len, files_per_dataset=files_per_ds,
-                                 ae_epochs=ae_epochs, diff_epochs=diff_epochs,
-                                 ae_iters_per_epoch=args.ae_iters,
-                                 ae_gamma=args.ae_gamma,
-                                 diff_sched=diff_sched, eval_freq=eval_freq,
-                                 k=k_full, num_samples=num_samples))
-    timings["total"] = round(time.time() - t_all, 1)
-    report["timings_sec"] = timings
-    os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
-    with open(args.out_json, "w") as f:
-        json.dump(report, f, indent=2)
+    # ---- final report ---------------------------------------------------------
+    report = bank("all")
     print(f"[capstone] report written to {args.out_json}")
     print(json.dumps(report.get("checks", {}), indent=2))
     judged = [v for v in report["checks"].values() if v is not None]
@@ -347,17 +368,22 @@ def main():
 
 
 def analyze(root, ae_dir, diff_dirs, results, *, smoke, timings, config):
-    """Assemble the evidence trail for VERDICT checks (a)-(d)."""
-    flagship = results["k50_motion"]
-    zv = results["zero_velocity"]
+    """Assemble the evidence trail for VERDICT checks (a)-(d).
+
+    Tolerates partially-complete runs (missing variants / missing evals):
+    every check that cannot be judged yet is reported as ``None``, so this
+    can be called after EVERY phase to bank honest partial evidence."""
+    flagship = results.get("k50_motion")
+    zv = results.get("zero_velocity")
+    flag_dir = diff_dirs.get("k50_motion")
 
     # (c) EMA validation ADE trajectory + top-k rotation evidence
     val_ade = [
         (r["step"], r["ADE"])
-        for r in read_jsonl(os.path.join(diff_dirs["k50_motion"], "metrics.jsonl"))
+        for r in (read_jsonl(os.path.join(flag_dir, "metrics.jsonl")) if flag_dir else [])
         if r.get("prefix") == "valid" and "ADE" in r
     ]
-    ckpt_dir = os.path.join(diff_dirs["k50_motion"], "checkpoints")
+    ckpt_dir = os.path.join(flag_dir, "checkpoints") if flag_dir else ""
     kept = sorted(d for d in os.listdir(ckpt_dir)
                   if os.path.isdir(os.path.join(ckpt_dir, d))) if os.path.isdir(ckpt_dir) else []
 
@@ -365,7 +391,7 @@ def analyze(root, ae_dir, diff_dirs, results, *, smoke, timings, config):
     # rows (prefix "train") — iteration rows are only logged every
     # log_every_iters and can miss the final epochs entirely.
     ae_rows = read_jsonl(os.path.join(ae_dir, "metrics.jsonl"))
-    diff_rows = read_jsonl(os.path.join(diff_dirs["k50_motion"], "metrics.jsonl"))
+    diff_rows = read_jsonl(os.path.join(flag_dir, "metrics.jsonl")) if flag_dir else []
     ae_epoch_lr = [r["lr"] for r in ae_rows if r.get("prefix") == "train" and "lr" in r]
     diff_epoch_lr = [r["lr"] for r in diff_rows if r.get("prefix") == "train" and "lr" in r]
     ae_lr_final = ae_epoch_lr[-1] if ae_epoch_lr else None
@@ -390,18 +416,54 @@ def analyze(root, ae_dir, diff_dirs, results, *, smoke, timings, config):
         return bool(results[a]["APD"] > results[b]["APD"])
 
     checks = {
-        "flagship_beats_zero_velocity_ade": flagship["ADE"] < 0.6 * zv["ADE"],
-        "flagship_beats_zero_velocity_fde": flagship["FDE"] < 0.6 * zv["FDE"],
+        "flagship_beats_zero_velocity_ade": (
+            None if flagship is None or zv is None
+            else bool(flagship["ADE"] < 0.6 * zv["ADE"])),
+        "flagship_beats_zero_velocity_fde": (
+            None if flagship is None or zv is None
+            else bool(flagship["FDE"] < 0.6 * zv["FDE"])),
         "apd_ordering_motion_gt_latent": apd_gt("k50_motion", "k50_latent"),
         "apd_ordering_latent_gt_k1": apd_gt("k50_latent", "k1"),
-        "ema_val_ade_improved": (len(val_ade) >= 2 and
-                                 min(a for _, a in val_ade[1:]) < val_ade[0][1]),
-        "topk_checkpoints_rotated": len(kept) >= 2,
-        "ae_lr_reached_floor": (ae_lr_final is not None and ae_lr_final <= 1.0e-4 * 1.001),
-        "diff_lr_reached_floor": (diff_lr_final is not None and diff_lr_final <= 1.0e-4 * 1.001),
-        "curriculum_fully_annealed": ph_max_reached >= 0.9 * config["pred_len"],
-        "ae_val_ade_improved": (len(ae_val) >= 2 and
-                                min(a for _, a in ae_val[1:]) < ae_val[0][1]),
+        "ema_val_ade_improved": (None if not val_ade else
+                                 (len(val_ade) >= 2 and
+                                  min(a for _, a in val_ade[1:]) < val_ade[0][1])),
+        "topk_checkpoints_rotated": (None if flag_dir is None else len(kept) >= 2),
+        "ae_lr_reached_floor": (None if ae_lr_final is None
+                                else ae_lr_final <= 1.0e-4 * 1.001),
+        "diff_lr_reached_floor": (None if diff_lr_final is None
+                                  else diff_lr_final <= 1.0e-4 * 1.001),
+        "curriculum_fully_annealed": (None if not ph_series else
+                                      ph_max_reached >= 0.9 * config["pred_len"]),
+        "ae_val_ade_improved": (None if not ae_val else
+                                (len(ae_val) >= 2 and
+                                 min(a for _, a in ae_val[1:]) < ae_val[0][1])),
+    }
+    # Raw margins next to the booleans (VERDICT r4 weak #2): a pass by 1%
+    # should read differently from a pass by 5x.
+    margins = {
+        "flagship_over_zv_ade_ratio": (
+            None if flagship is None or zv is None or not zv["ADE"]
+            else round(flagship["ADE"] / zv["ADE"], 4)),
+        "flagship_over_zv_fde_ratio": (
+            None if flagship is None or zv is None or not zv["FDE"]
+            else round(flagship["FDE"] / zv["FDE"], 4)),
+        "apd_motion_over_latent_ratio": (
+            None if "k50_motion" not in results or "k50_latent" not in results
+            or not results["k50_latent"]["APD"]
+            else round(results["k50_motion"]["APD"] / results["k50_latent"]["APD"], 4)),
+        "apd_latent_over_k1_ratio": (
+            None if "k50_latent" not in results or "k1" not in results
+            or not results["k1"]["APD"]
+            else round(results["k50_latent"]["APD"] / results["k1"]["APD"], 4)),
+        "ema_val_ade_first_to_best_ratio": (
+            None if len(val_ade) < 2 or not val_ade[0][1]
+            else round(min(a for _, a in val_ade[1:]) / val_ade[0][1], 4)),
+        "ae_val_ade_first_to_best_ratio": (
+            None if len(ae_val) < 2 or not ae_val[0][1]
+            else round(min(a for _, a in ae_val[1:]) / ae_val[0][1], 4)),
+        "curriculum_ph_max_over_pred_len": (
+            None if not ph_series
+            else round(ph_max_reached / config["pred_len"], 4)),
     }
     missing = [v for v in ("k1", "k50_motion", "k50_latent") if v not in results]
     return {
@@ -417,7 +479,18 @@ def analyze(root, ae_dir, diff_dirs, results, *, smoke, timings, config):
         "kept_checkpoints_k50_motion": kept,
         "final_lr": {"autoencoder": ae_lr_final, "diffusion": diff_lr_final},
         "curriculum_ph_max": ph_max_reached,
+        # Free limb-realism signal (VERDICT r4 ask #6): the procedural data's
+        # FK is rigid, so ground-truth limb stretch is exactly 0 mm by
+        # construction — the flagship's StretchMean/RMSE (mm) are directly
+        # interpretable as its own limb violation, matching the reference's
+        # headline table rows (/root/reference/README.md:281-283).
+        "limb_stretch_flagship_mm": (None if flagship is None else {
+            "StretchMean": flagship.get("StretchMean"),
+            "StretchRMSE": flagship.get("StretchRMSE"),
+            "gt_stretch_mm": 0.0,
+        }),
         "checks": checks,
+        "margins": margins,
     }
 
 

@@ -230,13 +230,29 @@ def make_synthetic_amass_motion(
         segments_path=segments_path, if_consider_hip=False, if_load_mmgt=True,
         silent=True,
     )
-    # ONE fixed-shape device dispatch for every segment's mm-GT futures
+    # Fixed-shape bucketed device dispatches for every segment's mm-GT futures
     # (per-segment transforms would recompile per unique future-count — on
-    # the remote-TPU tunnel that recompile storm took tens of minutes)
+    # the remote-TPU tunnel that recompile storm took tens of minutes).
+    # Bucketing (pad to _MM_BUCKET rows) keeps ONE compiled shape while
+    # bounding peak memory to bucket x pred_len x joints x 3.
     mm_sets = [mm_ds[i][2]["mm_gt"] for i in range(len(mm_ds))]
     counts = [m.shape[0] for m in mm_sets]
-    all_fut = np.asarray(skeleton.transform_to_metric_space(
-        skeleton.tranform_to_input_space(np.concatenate(mm_sets, axis=0))))
+    if mm_sets:
+        flat_in = np.concatenate(mm_sets, axis=0)
+        _MM_BUCKET = 4096
+        chunks = []
+        for s in range(0, flat_in.shape[0], _MM_BUCKET):
+            chunk = flat_in[s:s + _MM_BUCKET]
+            n = chunk.shape[0]
+            if n < _MM_BUCKET:
+                pad = np.repeat(chunk[-1:], _MM_BUCKET - n, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            out = np.asarray(skeleton.transform_to_metric_space(
+                skeleton.tranform_to_input_space(chunk)))
+            chunks.append(out[:n])
+        all_fut = np.concatenate(chunks, axis=0)
+    else:  # test split produced zero segments: write an empty mmapd_GT.csv
+        all_fut = np.zeros((0,), dtype=np.float64)
     gt_apds = []
     off = 0
     for c in counts:

@@ -66,7 +66,8 @@ def _fabricate(root, *, good=True):
             "zero_velocity": zv,
             "k1": {"ADE": 0.22, "FDE": 0.40, "APD": 0.10},
             "k50_latent": {"ADE": 0.20, "FDE": 0.36, "APD": 0.55},
-            "k50_motion": {"ADE": 0.18, "FDE": 0.33, "APD": 0.80},
+            "k50_motion": {"ADE": 0.18, "FDE": 0.33, "APD": 0.80,
+                           "StretchMean": 2.5, "StretchRMSE": 4.0},
         }
     else:  # flagship no better than ZV, APD ordering reversed
         results = {
@@ -128,3 +129,61 @@ def test_analyze_margin_thresholds(capstone, tmp_path):
                               smoke=False, timings={}, config=CONFIG)
     assert report["checks"]["flagship_beats_zero_velocity_ade"]
     assert not report["checks"]["flagship_beats_zero_velocity_fde"]
+
+
+def test_analyze_banks_before_any_variant(capstone, tmp_path):
+    """Per-phase evidence banking (VERDICT r4 ask #2): analyze must be
+    callable right after stage-1 (no stage-2 variants, no evals yet) and
+    report every unjudgeable check as None — not crash, not fake a FAIL."""
+    ae_dir, _, _ = _fabricate(str(tmp_path), good=True)
+    report = capstone.analyze(str(tmp_path), ae_dir, {}, {},
+                              smoke=False, timings={}, config=CONFIG)
+    checks = report["checks"]
+    # stage-1 evidence is judgeable
+    assert checks["ae_lr_reached_floor"] is True
+    assert checks["ae_val_ade_improved"] is True
+    assert checks["curriculum_fully_annealed"] is True
+    # everything downstream of stage-2 is explicitly not-judged
+    for key in ("flagship_beats_zero_velocity_ade",
+                "flagship_beats_zero_velocity_fde",
+                "apd_ordering_motion_gt_latent", "apd_ordering_latent_gt_k1",
+                "ema_val_ade_improved", "topk_checkpoints_rotated",
+                "diff_lr_reached_floor"):
+        assert checks[key] is None, (key, checks[key])
+    assert report["partial_variants_missing"] == ["k1", "k50_motion", "k50_latent"]
+
+
+def test_analyze_reports_raw_margins(capstone, tmp_path):
+    """VERDICT r4 weak #2: raw margins ship next to the booleans, so a pass
+    by 1% reads differently from a pass by 5x."""
+    ae_dir, diff_dirs, results = _fabricate(str(tmp_path), good=True)
+    report = capstone.analyze(str(tmp_path), ae_dir, diff_dirs, results,
+                              smoke=False, timings={}, config=CONFIG)
+    m = report["margins"]
+    assert m["flagship_over_zv_ade_ratio"] == round(0.18 / 0.50, 4)
+    assert m["flagship_over_zv_fde_ratio"] == round(0.33 / 0.90, 4)
+    assert m["apd_motion_over_latent_ratio"] == round(0.80 / 0.55, 4)
+    assert m["apd_latent_over_k1_ratio"] == round(0.55 / 0.10, 4)
+    assert m["curriculum_ph_max_over_pred_len"] == round(118.0 / 120, 4)
+    # partial run: margins involving missing variants are None
+    del results["k50_latent"]
+    report = capstone.analyze(str(tmp_path), ae_dir, diff_dirs, results,
+                              smoke=False, timings={}, config=CONFIG)
+    assert report["margins"]["apd_motion_over_latent_ratio"] is None
+    assert report["margins"]["apd_latent_over_k1_ratio"] is None
+
+
+def test_analyze_surfaces_flagship_limb_stretch(capstone, tmp_path):
+    """VERDICT r4 ask #6: rigid synthetic FK means GT limb stretch is 0 mm;
+    the flagship's StretchMean/RMSE ship in the report as a limb-realism
+    signal, and are None-safe when the flagship has not been evaluated."""
+    ae_dir, diff_dirs, results = _fabricate(str(tmp_path), good=True)
+    report = capstone.analyze(str(tmp_path), ae_dir, diff_dirs, results,
+                              smoke=False, timings={}, config=CONFIG)
+    stretch = report["limb_stretch_flagship_mm"]
+    assert stretch == {"StretchMean": 2.5, "StretchRMSE": 4.0,
+                       "gt_stretch_mm": 0.0}
+    del results["k50_motion"]
+    report = capstone.analyze(str(tmp_path), ae_dir, diff_dirs, results,
+                              smoke=False, timings={}, config=CONFIG)
+    assert report["limb_stretch_flagship_mm"] is None
