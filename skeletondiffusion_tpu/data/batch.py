@@ -105,7 +105,7 @@ MM_DEDUP_BUCKET = 128
 
 
 def collate(batch_items: List[Tuple], max_mmgt: int = 0,
-            dedup_mm: bool = False) -> Dict[str, np.ndarray]:
+            dedup_mm: bool = False, mm_fetch=None) -> Dict[str, np.ndarray]:
     """Stack raw segments; pad the ragged mm-GT neighbor axis to a fixed
     ``max_mmgt`` (static shapes for jit — replaces the reference's Python
     list collate, `motion_dataset.py:21-29`).
@@ -118,12 +118,21 @@ def collate(batch_items: List[Tuple], max_mmgt: int = 0,
     duplication factor; the consumer gathers back to the dense
     [B,M,Tp,J,F] form on device (one HBM-local op) before the metric math.
     Requires items to carry ``mm_gt_idces`` (neighbor segment ids,
-    row-aligned with ``mm_gt``)."""
+    row-aligned with ``mm_gt``).
+
+    ``mm_fetch``: optional ``segment_id -> future [Tp,J,F]`` callable
+    (``MotionDataset.future_of_segment``).  With it, the dedup path fills
+    each unique row straight from the dataset's clip arrays and the items
+    need not carry a dense ``mm_gt`` at all (``MotionDataset.mm_lazy``) —
+    skipping the per-item neighbor stacks whose rows the dedup would mostly
+    discard."""
     obs = np.stack([b[0] for b in batch_items])
     pred = np.stack([b[1] for b in batch_items])
     out: Dict[str, np.ndarray] = {"obs": obs, "pred": pred}
     extras = [b[2] for b in batch_items]
-    if "mm_gt" in extras[0]:
+    lazy_mm = ("mm_gt" not in extras[0] and "mm_gt_idces" in extras[0]
+               and dedup_mm and mm_fetch is not None)
+    if "mm_gt" in extras[0] or lazy_mm:
         B = len(batch_items)
         Tp, J, F = pred.shape[1:]
         mask = np.zeros((B, max_mmgt), dtype=bool)
@@ -144,8 +153,12 @@ def collate(batch_items: List[Tuple], max_mmgt: int = 0,
             u = len(uniq)
             u_pad = max(MM_DEDUP_BUCKET, -(-u // MM_DEDUP_BUCKET) * MM_DEDUP_BUCKET)
             mm = np.zeros((u_pad, Tp, J, F), dtype=pred.dtype)
-            for seg, (i, j) in uniq.items():
-                mm[pos[seg]] = extras[i]["mm_gt"][j]
+            if lazy_mm:
+                for seg in uniq:
+                    mm[pos[seg]] = mm_fetch(seg)
+            else:
+                for seg, (i, j) in uniq.items():
+                    mm[pos[seg]] = extras[i]["mm_gt"][j]
             out["mm_gt"] = mm
             out["mm_idx"] = idx
         else:
@@ -308,7 +321,10 @@ class DataLoader:
                     pad = pad_rng.choice(order, self.batch_size - real_count)
                     idx = np.concatenate([idx, pad])
             items = [self.dataset[int(i)] for i in idx]
-            batch = collate(items, max_mmgt=max_m, dedup_mm=self.dedup_mm)
+            batch = collate(
+                items, max_mmgt=max_m, dedup_mm=self.dedup_mm,
+                mm_fetch=(getattr(self.dataset, "future_of_segment", None)
+                          if self.dedup_mm else None))
             # number of REAL (non-pad) items: consumers mask accumulator
             # updates on the padded final batch with this
             batch["_count"] = np.asarray(real_count)

@@ -143,6 +143,19 @@ class BaseDataset:
             [self._get_segment(*self.segments[idx])[1] for idx in mm_gt_idces], axis=0
         )
 
+    def future_of_segment(self, segment_idx: int) -> np.ndarray:
+        """The future window of ONE segment, normalized like mm-GT rows.
+
+        Used by ``collate(dedup_mm=True, mm_fetch=...)`` to materialize each
+        UNIQUE mm-GT row exactly once: the dense per-item stack above does
+        O(sum over items of |neighbors|) window copies, nearly all of which
+        the cross-batch dedup then discards — on real data that stacking
+        dominated host collate time (profiled ~1.8 s of a ~2.1 s producer
+        step at batch 256)."""
+        fut = self._get_segment(*self.segments[segment_idx])[1]
+        # normalize is elementwise, so per-row == normalizing the full stack
+        return self.normalize(fut) if self.normalize_data else fut
+
     def _generate_segments(self):
         """Dense sliding-window segments; reference
         `base_dataset.py:189-198`."""
@@ -365,16 +378,23 @@ class MotionDataset(BaseDataset):
     def train(self):
         self.in_eval = False
 
+    # when True, __getitem__ ships only the neighbor ids and the dedup
+    # collate pulls each unique future once via future_of_segment — set by
+    # consumers that own the dataset AND read it through a dedup_mm loader
+    # (eval_pipeline); the dense per-item mm_gt stack is skipped entirely
+    mm_lazy: bool = False
+
     def __getitem__(self, idx: int):
         obs, pred, extra = super().__getitem__(idx)
         if self.if_load_mmgt and self.mm_indces is not None:
-            mm_gt = self._get_mmgt_for_segment(extra["segment_idx"])
-            if self.normalize_data:
-                mm_gt = self.normalize(mm_gt)  # reference `motion_dataset.py:122-123`
-            extra["mm_gt"] = mm_gt
             # neighbor SEGMENT ids, row-aligned with mm_gt — lets the collate
             # dedup shared neighbors across the batch (see collate(dedup_mm=))
             extra["mm_gt_idces"] = self.mm_indces[extra["segment_idx"]]
+            if not self.mm_lazy:
+                mm_gt = self._get_mmgt_for_segment(extra["segment_idx"])
+                if self.normalize_data:
+                    mm_gt = self.normalize(mm_gt)  # reference `motion_dataset.py:122-123`
+                extra["mm_gt"] = mm_gt
         return obs, pred, extra
 
     def iter_thourgh_seqs(self):

@@ -400,7 +400,11 @@ def compute_metrics(
             fg = clf.apply(fid_classifier_params, g, h0g, method=ClassifierForFID.get_fid_features)
             return fp, fg
     # dedup_mm: the loader ships UNIQUE mm-GT futures + a gather table (see
-    # collate) — the dense [B,M,T,J,3] form only ever exists on device
+    # collate) — the dense [B,M,T,J,3] form only ever exists on device.
+    # mm_lazy: items carry neighbor ids only; collate pulls each unique
+    # future once (profiled: the per-item dense stacks were ~85% of host
+    # collate time at batch 256 and the dedup discarded most of their rows)
+    dataset.mm_lazy = True
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=False, drop_last=False,
                         pad_last=True, dedup_mm=True)
     rng = jax.random.key(seed)

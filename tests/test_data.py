@@ -135,6 +135,20 @@ def test_mmgt_roundtrip(fixture_dir, skeleton):
         batch["mm_gt"] * batch["mm_mask"][:, :, None, None, None],
     )
 
+    # lazy mm (what eval_pipeline sets): items ship neighbor ids only and
+    # collate pulls each unique future straight from the clip arrays —
+    # bit-identical to the dense-item dedup collate
+    ds2.mm_lazy = True
+    try:
+        _, _, extra = ds2[0]
+        assert "mm_gt" not in extra and "mm_gt_idces" in extra
+        batch_l = next(iter(DataLoader(ds2, batch_size=3, shuffle=False,
+                                       dedup_mm=True)))
+    finally:
+        ds2.mm_lazy = False
+    for key in ("mm_gt", "mm_idx", "mm_mask"):
+        np.testing.assert_array_equal(batch_l[key], batch_d[key])
+
 
 def test_chunked_mmgt_matches_direct(rng):
     frames = rng.standard_normal((50, 5, 3))
