@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from ..data import DataLoader
-from ..data.batch import bounded_batches, prefetch_iterator
+from ..data.batch import bounded_batches, cycled_batches, prefetch_iterator
 from ..metrics.multimodal import ade, fde, mpjpe
 from ..parallel import replicate, shard_batch
 from ..train.checkpoint import CheckpointManager, load_host_state, save_host_state
@@ -128,7 +128,9 @@ def train(cfg: Dict) -> str:
         # prefetch generator would leave the producer thread drawing extra
         # dataset-augmentation RNG (nondeterministic resume state) and
         # holding device buffers
-        bounded = bounded_batches(loader, iter_per_epoch)
+        # ignite epoch_length parity: an epoch is EXACTLY iter_per_epoch
+        # iterations, cycling the loader when one pass is shorter
+        bounded = cycled_batches(loader, iter_per_epoch)
         for it, batch in enumerate(prefetch_iterator(bounded, to_device=True)):
             # independent keys for augmentation vs the train step: jax
             # split's prefix property makes reusing one key couple the two

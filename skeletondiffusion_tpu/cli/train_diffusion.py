@@ -16,7 +16,7 @@ import numpy as np
 import yaml
 
 from ..data import DataLoader
-from ..data.batch import bounded_batches, prefetch_iterator
+from ..data.batch import bounded_batches, cycled_batches, prefetch_iterator
 from ..diffusion.manager import create_diffusion
 from ..metrics.body_realism import limb_length_variance
 from ..metrics.multimodal import ade, apd, mpjpe
@@ -155,7 +155,9 @@ def train(cfg: Dict) -> str:
         losses = []
         # bound BEFORE prefetching (see train_autoencoder: a break inside the
         # prefetch generator breaks bit-faithful resume + pins device buffers)
-        bounded = bounded_batches(loader, iter_per_epoch)
+        # ignite epoch_length parity: an epoch is EXACTLY iter_per_epoch
+        # iterations, cycling the loader when one pass is shorter
+        bounded = cycled_batches(loader, iter_per_epoch)
         for it, batch in enumerate(prefetch_iterator(bounded, to_device=True)):
             # independent keys for augmentation vs the train step (see
             # train_autoencoder: split's prefix property couples the streams

@@ -259,6 +259,35 @@ def bounded_batches(loader, n: Optional[int]):
     return iter(loader) if n is None else itertools.islice(iter(loader), n)
 
 
+def cycled_batches(loader, n: Optional[int]):
+    """Yield EXACTLY ``n`` batches, restarting the loader when it runs dry —
+    ignite's ``epoch_length`` semantics, which the reference's trainers use
+    (`src/train.py` passes ``epoch_length=num_iter_perepoch`` and ignite
+    cycles the dataloader when the epoch is longer than one pass).  A plain
+    truncation (``bounded_batches``) silently shrinks the epoch to one
+    loader pass when ``n > len(loader)``, which mis-sizes everything that
+    counts in iterations (the AE curriculum cycle ``curriculum_it *
+    iter_per_epoch`` most visibly).
+
+    Each restart is a fresh ``DataLoader.__iter__`` pass (re-shuffled; the
+    loader's checkpointable RNG advances deterministically), so resume
+    stays bit-faithful.  ``n=None`` falls back to one natural pass."""
+    if n is None:
+        yield from loader
+        return
+    count = 0
+    while count < n:
+        empty = True
+        for b in loader:
+            empty = False
+            yield b
+            count += 1
+            if count >= n:
+                return
+        if empty:
+            raise ValueError("cycled_batches: empty loader")
+
+
 class DataLoader:
     """Minimal epoch iterator: shuffle, batch, collate, optional pad-to-full
     final batch (static shapes).  Replaces torch DataLoader + workers — with

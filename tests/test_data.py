@@ -253,3 +253,38 @@ def test_mmgt_computed_in_metric_space(fixture_dir, skeleton, tmp_path):
     # raw world frames would never match
     mmgt_raw = get_multimodal_gt(frames_raw.reshape(2, -1, 3), multimodal_threshold=0.1)
     assert mmgt_raw[0] == [0]
+
+
+def test_cycled_batches_epoch_length_semantics():
+    """ignite epoch_length parity: an epoch of n iterations CYCLES the
+    loader when one pass is shorter (reference `src/train.py` passes
+    epoch_length=num_iter_perepoch); truncation would silently shrink it."""
+    from skeletondiffusion_tpu.data.batch import cycled_batches
+
+    class FakeLoader:
+        def __init__(self):
+            self.passes = 0
+
+        def __iter__(self):
+            self.passes += 1
+            # distinct content per pass: a reshuffled DataLoader pass
+            return iter([(self.passes, i) for i in range(3)])
+
+    ld = FakeLoader()
+    out = list(cycled_batches(ld, 8))
+    assert len(out) == 8
+    assert ld.passes == 3  # 3 + 3 + 2
+    assert out[:3] == [(1, 0), (1, 1), (1, 2)] and out[6] == (3, 0)
+
+    ld = FakeLoader()
+    assert len(list(cycled_batches(ld, None))) == 3 and ld.passes == 1
+    ld = FakeLoader()
+    assert len(list(cycled_batches(ld, 2))) == 2 and ld.passes == 1
+
+    class Empty:
+        def __iter__(self):
+            return iter(())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(cycled_batches(Empty(), 4))
