@@ -424,6 +424,9 @@ def analyze(root, ae_dir, diff_dirs, results, *, smoke, timings, config):
             else bool(flagship["FDE"] < 0.6 * zv["FDE"])),
         "apd_ordering_motion_gt_latent": apd_gt("k50_motion", "k50_latent"),
         "apd_ordering_latent_gt_k1": apd_gt("k50_latent", "k1"),
+        # outer comparison of the same ablation: judgeable as soon as k1
+        # finishes, even if the k50_latent leg is cut off by the budget
+        "apd_ordering_motion_gt_k1": apd_gt("k50_motion", "k1"),
         "ema_val_ade_improved": (None if not val_ade else
                                  (len(val_ade) >= 2 and
                                   min(a for _, a in val_ade[1:]) < val_ade[0][1])),
@@ -455,6 +458,10 @@ def analyze(root, ae_dir, diff_dirs, results, *, smoke, timings, config):
             None if "k50_latent" not in results or "k1" not in results
             or not results["k1"]["APD"]
             else round(results["k50_latent"]["APD"] / results["k1"]["APD"], 4)),
+        "apd_motion_over_k1_ratio": (
+            None if "k50_motion" not in results or "k1" not in results
+            or not results["k1"]["APD"]
+            else round(results["k50_motion"]["APD"] / results["k1"]["APD"], 4)),
         "ema_val_ade_first_to_best_ratio": (
             None if len(val_ade) < 2 or not val_ade[0][1]
             else round(min(a for _, a in val_ade[1:]) / val_ade[0][1], 4)),

@@ -18,6 +18,7 @@ CHECK_LABELS = {
     "flagship_beats_zero_velocity_fde": "(a) flagship min-FDE < 0.6 x ZeroVelocity",
     "apd_ordering_motion_gt_latent": "(b) APD k50-motion > k50-latent",
     "apd_ordering_latent_gt_k1": "(b) APD k50-latent > k1",
+    "apd_ordering_motion_gt_k1": "(b) APD k50-motion > k1 (outer comparison)",
     "ema_val_ade_improved": "(c) EMA validation ADE improved over training",
     "topk_checkpoints_rotated": "(c) top-k checkpoint rotation exercised",
     "ae_lr_reached_floor": "(d) stage-1 LR reached its min-lr floor",
@@ -83,6 +84,8 @@ def main():
             ("apd_motion_over_latent_ratio", "APD ratio (pass > 1)"),
         "apd_ordering_latent_gt_k1":
             ("apd_latent_over_k1_ratio", "APD ratio (pass > 1)"),
+        "apd_ordering_motion_gt_k1":
+            ("apd_motion_over_k1_ratio", "APD ratio (pass > 1)"),
         "ema_val_ade_improved":
             ("ema_val_ade_first_to_best_ratio", "best/first val-ADE (pass < 1)"),
         "ae_val_ade_improved":
